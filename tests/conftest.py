@@ -1,0 +1,23 @@
+"""Test configuration: force the CPU JAX backend with 8 virtual devices.
+
+Tests must run anywhere (CI, dev boxes) without TPU hardware; sharding tests
+use an 8-device virtual CPU mesh, standing in for an 8-chip TPU slice.
+This must run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(1234)
