@@ -1,0 +1,481 @@
+"""Multiscale Haar-cascade detection engine — the TPU replacement for
+``cv::CascadeClassifier::detectMultiScale`` (the reference's hot loop,
+``kmsfacedetect.cpp:809-811``, ~95% of its cycles per SURVEY.md §3.2).
+
+Design (TPU-first, not a port):
+
+* Pyramid/grid geometry is host-precomputed (`pyramid.compute_levels`) so every
+  shape is static under `jit`.
+* Per level, evaluation proceeds in **blocks of stages** with compaction
+  between blocks — the static-shape equivalent of OpenCV's data-dependent
+  early-exit loop:
+
+  - **Block 0 (dense)**: the first few stages are evaluated for *every*
+    window position as strided-slice arithmetic over the integral images —
+    pure vectorized adds on the VPU, no gathers. Kills most windows.
+
+  - **Compaction**: surviving windows are compacted to a static per-level
+    capacity with `top_k` (earliest-index-first). A per-frame overflow flag
+    reports if survivors ever exceeded capacity.
+
+  - **Matmul blocks (MXU)**: for survivors, a (h0+1)×(w0+1) integral patch is
+    gathered once per window and made *doubly-relative* (subtract first
+    row/column: every entry becomes a window-local region sum ≤ 20·20·255,
+    making the whole evaluation exactly representable in float32). Each
+    block's feature values are one patch×feature-matrix matmul on the MXU;
+    weak trees are branch-free selects; stage sums a second small matmul.
+    Between blocks the survivor set is re-compacted (cheap row gather of the
+    already-loaded patches), so late expensive stages run on few windows.
+
+* Numeric semantics match OpenCV 4.6 exactly where integer (integral images,
+  rect sums, INTER_LINEAR_EXACT resize, rounding) and to float32 rounding
+  elsewhere (variance normalization, stage sums). Parity is enforced by tests
+  against the C++ golden tool (tests/golden).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.integral import (
+    integral_image,
+    sq_integral_image,
+    tilted_integral_image,
+)
+from ..ops.resize import resize_linear_exact
+from ..ops.grouping import group_rectangles_np
+from .pyramid import LevelSpec, compute_levels
+from .xml_loader import HaarCascade
+
+
+def _sum_corner_offsets(x, y, w, h):
+    """Axis-aligned rect → 4 (dy, dx, sign) corners on the sum table."""
+    return [(y, x, 1), (y, x + w, -1), (y + h, x, -1), (y + h, x + w, 1)]
+
+
+def _tilt_corner_offsets(x, y, w, h):
+    """Tilted rect → 4 (dy, dx, sign) corners on the tilted table.
+
+    sum = T[y,x] - T[y+w,x+w] - T[y+h,x-h] + T[y+w+h,x+w-h]
+    (verified against cv::integral's tilted output; see tests).
+    """
+    return [
+        (y, x, 1),
+        (y + w, x + w, -1),
+        (y + h, x - h, -1),
+        (y + w + h, x + w - h, 1),
+    ]
+
+
+@dataclasses.dataclass
+class _Block:
+    """Host-precomputed tables for one matmul block of stages."""
+
+    w_sum: np.ndarray          # [PP, Fb] f32
+    w_tilt: np.ndarray | None  # [PP, Fb] f32
+    feat0: np.ndarray          # [Wb] i32 (block-local feature ids)
+    thr0: np.ndarray
+    featL: np.ndarray
+    thrL: np.ndarray
+    leavesL: np.ndarray        # [Wb, 2]
+    featR: np.ndarray
+    thrR: np.ndarray
+    leavesR: np.ndarray
+    stage_onehot: np.ndarray   # [Wb, Sb] f32
+    stage_thr: np.ndarray      # [Sb] f32
+    cap_frac: float            # capacity fraction of level windows
+
+
+class CascadeEngine:
+    """Batched multiscale detector for one cascade at one static image size.
+
+    Produces raw candidate windows (pre-grouping) with OpenCV-parity
+    coordinates; `detect()` adds exact minNeighbors grouping on host.
+    """
+
+    def __init__(
+        self,
+        cascade: HaarCascade,
+        image_size: tuple[int, int],           # (W, H)
+        scale_factor: float = 1.25,
+        min_size: tuple[int, int] = (0, 0),
+        max_size: tuple[int, int] = (0, 0),
+        dense_stages: int | None = None,
+        block_plan: list[tuple[int, float]] | None = None,
+        max_capacity: int = 32768,
+    ):
+        """block_plan: list of (n_stages, capacity_frac) for matmul blocks;
+        the last entry's n_stages may exceed what remains (clamped). The
+        default plan is tuned so pathological low-contrast frames still fit:
+        dense 3 stages → (5 stages, 45%) → (rest, 8%)."""
+        self.cascade = cascade
+        self.image_w, self.image_h = image_size
+        self.scale_factor = scale_factor
+        self.levels: list[LevelSpec] = compute_levels(
+            self.image_w, self.image_h, cascade.window_w, cascade.window_h,
+            scale_factor, min_size, max_size,
+        )
+        if not self.levels:
+            raise ValueError("image smaller than cascade window")
+
+        counts = cascade.stage_weak_counts()
+        cum = np.cumsum(counts)
+        if dense_stages is None:
+            # first stages with cumulative weak count <= 48 (at least 1)
+            dense_stages = max(1, int(np.searchsorted(cum, 48, side="right")))
+        self.n_dense_stages = min(dense_stages, cascade.n_stages)
+        if block_plan is None:
+            block_plan = [(5, 0.45), (cascade.n_stages, 0.08)]
+        self._max_capacity = max_capacity
+
+        self._build_tables(block_plan)
+        self._detect_jit = jax.jit(self._detect_impl)
+
+    # ------------------------------------------------------------------ prep
+    def _build_tables(self, block_plan) -> None:
+        c = self.cascade
+        w0, h0 = c.window_w, c.window_h
+        self._pw, self._ph = w0 + 1, h0 + 1
+        nw, nh = w0 - 2, h0 - 2
+        self._norm_area = float(nw * nh)
+        self._norm_corners = _sum_corner_offsets(1, 1, nw, nh)
+
+        # per-feature corner decomposition
+        self._feat_rects = []
+        for f in range(c.n_features):
+            rects = []
+            for r in range(c.rects.shape[1]):
+                wgt = float(c.rect_weights[f, r])
+                if wgt == 0.0:
+                    continue
+                x, y, w, h = (int(v) for v in c.rects[f, r])
+                corners = (_tilt_corner_offsets(x, y, w, h) if c.tilted[f]
+                           else _sum_corner_offsets(x, y, w, h))
+                rects.append(("tilt" if c.tilted[f] else "sum", corners, wgt))
+            self._feat_rects.append(rects)
+
+        counts = c.stage_weak_counts()
+        cum = np.concatenate([[0], np.cumsum(counts)])
+
+        # dense block
+        nd = self.n_dense_stages
+        split = int(cum[nd])
+        self._dense = dict(
+            feat0=c.feat0[:split], thr0=c.thr0[:split],
+            featL=c.featL[:split], thrL=c.thrL[:split], leavesL=c.leavesL[:split],
+            featR=c.featR[:split], thrR=c.thrR[:split], leavesR=c.leavesR[:split],
+            stage=c.weak_stage[:split],
+            stage_thr=c.stage_thresholds[:nd],
+        )
+        self._dense_uses_tilt = bool(c.tilted[
+            np.unique(np.concatenate([c.feat0[:split], c.featL[:split],
+                                      c.featR[:split]]))
+        ].any()) if split else False
+
+        # matmul blocks
+        self._blocks: list[_Block] = []
+        s_lo = nd
+        for n_stages, frac in block_plan:
+            s_hi = min(s_lo + n_stages, c.n_stages)
+            if s_hi <= s_lo:
+                continue
+            w_lo, w_hi = int(cum[s_lo]), int(cum[s_hi])
+            self._blocks.append(self._make_block(w_lo, w_hi, s_lo, s_hi, frac))
+            s_lo = s_hi
+        if s_lo < c.n_stages:
+            w_lo, w_hi = int(cum[s_lo]), int(cum[c.n_stages])
+            self._blocks.append(
+                self._make_block(w_lo, w_hi, s_lo, c.n_stages,
+                                 block_plan[-1][1]))
+
+        # per-level capacities for each block
+        self._level_caps: list[list[int]] = []
+        for l in self.levels:
+            caps = []
+            prev = l.n_windows
+            for blk in self._blocks:
+                cap = int(min(prev, self._max_capacity,
+                              max(64, int(np.ceil(l.n_windows * blk.cap_frac)))))
+                caps.append(cap)
+                prev = cap
+            self._level_caps.append(caps)
+        self.total_capacity = sum(
+            caps[-1] if caps else l.n_windows
+            for caps, l in zip(self._level_caps, self.levels)
+        )
+
+        # original-pixel coordinate maps
+        self._maps = []
+        for l in self.levels:
+            xs = (np.arange(l.nx) * l.ystep).astype(np.float64)
+            ys = (np.arange(l.ny) * l.ystep).astype(np.float64)
+            self._maps.append((
+                np.rint(xs * l.factor).astype(np.int32),
+                np.rint(ys * l.factor).astype(np.int32),
+            ))
+
+        dy, dx = np.meshgrid(np.arange(self._ph), np.arange(self._pw),
+                             indexing="ij")
+        self._patch_dy = dy.reshape(-1)
+        self._patch_dx = dx.reshape(-1)
+        self._uses_tilt = bool(c.has_tilted)
+
+    def _make_block(self, w_lo, w_hi, s_lo, s_hi, frac) -> _Block:
+        c = self.cascade
+        used = sorted(
+            {int(f) for f in np.concatenate(
+                [c.feat0[w_lo:w_hi], c.featL[w_lo:w_hi], c.featR[w_lo:w_hi]])}
+        )
+        remap = {f: i for i, f in enumerate(used)}
+        PP = self._pw * self._ph
+        w_sum = np.zeros((PP, len(used)), np.float32)
+        w_tilt = np.zeros((PP, len(used)), np.float32) if c.has_tilted else None
+        for f in used:
+            i = remap[f]
+            for table, corners, wgt in self._feat_rects[f]:
+                tgt = w_sum if table == "sum" else w_tilt
+                for (dy, dx, s) in corners:
+                    assert 0 <= dy < self._ph and 0 <= dx < self._pw
+                    tgt[dy * self._pw + dx, i] += s * wgt
+        if w_tilt is not None and not w_tilt.any():
+            w_tilt = None
+        onehot = np.zeros((w_hi - w_lo, s_hi - s_lo), np.float32)
+        for i, s in enumerate(c.weak_stage[w_lo:w_hi]):
+            onehot[i, int(s) - s_lo] = 1.0
+        rm = np.vectorize(lambda f: remap[int(f)], otypes=[np.int32])
+        return _Block(
+            w_sum=w_sum, w_tilt=w_tilt,
+            feat0=rm(c.feat0[w_lo:w_hi]), thr0=c.thr0[w_lo:w_hi],
+            featL=rm(c.featL[w_lo:w_hi]), thrL=c.thrL[w_lo:w_hi],
+            leavesL=c.leavesL[w_lo:w_hi],
+            featR=rm(c.featR[w_lo:w_hi]), thrR=c.thrR[w_lo:w_hi],
+            leavesR=c.leavesR[w_lo:w_hi],
+            stage_onehot=onehot,
+            stage_thr=c.stage_thresholds[s_lo:s_hi],
+            cap_frac=frac,
+        )
+
+    # ------------------------------------------------------------- dense ops
+    @staticmethod
+    def _slice(tab, dy, dx, ny, nx, step):
+        return jax.lax.slice(
+            tab,
+            (0, dy, dx),
+            (tab.shape[0], dy + (ny - 1) * step + 1, dx + (nx - 1) * step + 1),
+            (1, step, step),
+        )
+
+    def _dense_rect_sum(self, tab, corners, ny, nx, step):
+        acc = None
+        for (dy, dx, s) in corners:
+            v = self._slice(tab, dy, dx, ny, nx, step)
+            if acc is None:
+                acc = v if s > 0 else -v
+            else:
+                acc = acc + v if s > 0 else acc - v
+        return acc  # int32, exact
+
+    def _dense_feature(self, ii, iit, fid, ny, nx, step, cache):
+        if fid in cache:
+            return cache[fid]
+        val = None
+        for table, corners, wgt in self._feat_rects[fid]:
+            tab = ii if table == "sum" else iit
+            rs = self._dense_rect_sum(tab, corners, ny, nx, step).astype(jnp.float32)
+            term = rs * jnp.float32(wgt)
+            val = term if val is None else val + term
+        cache[fid] = val
+        return val
+
+    @staticmethod
+    def _weak_tree(v0, vL, vR, thr0, thrL, thrR, leavesL, leavesR):
+        lv = jnp.where(vL < thrL, leavesL[..., 0], leavesL[..., 1])
+        rv = jnp.where(vR < thrR, leavesR[..., 0], leavesR[..., 1])
+        return jnp.where(v0 < thr0, lv, rv)
+
+    @staticmethod
+    def _compact(keys_src_alive, cap):
+        """alive [B, N] bool → (sel [B, cap] indices asc, sel_alive, count)."""
+        B, N = keys_src_alive.shape
+        keys = jnp.where(keys_src_alive,
+                         jnp.arange(N, 0, -1, dtype=jnp.int32), 0)
+        k = min(cap, N)
+        _, sel = jax.lax.top_k(keys, k)
+        sel_alive = jnp.take_along_axis(keys_src_alive, sel, axis=1)
+        count = jnp.sum(keys_src_alive, axis=1)
+        return sel, sel_alive, count
+
+    def _block_eval(self, blk: _Block, patch, patch_t, vnf_sel):
+        """patch [B,C,PP] f32 (doubly-relative), vnf_sel [B,C] → pass [B,C]."""
+        feats = patch @ blk.w_sum
+        if blk.w_tilt is not None:
+            feats = feats + patch_t @ blk.w_tilt
+        vals = feats * vnf_sel[:, :, None]
+        v0 = jnp.take(vals, blk.feat0, axis=2)
+        vL = jnp.take(vals, blk.featL, axis=2)
+        vR = jnp.take(vals, blk.featR, axis=2)
+        wout = self._weak_tree(v0, vL, vR, blk.thr0, blk.thrL, blk.thrR,
+                               blk.leavesL, blk.leavesR)
+        ssums = wout @ blk.stage_onehot
+        return jnp.all(ssums >= blk.stage_thr, axis=-1)
+
+    # ---------------------------------------------------------------- detect
+    def _detect_impl(self, gray):
+        """gray [B, H, W] uint8 → (boxes [B, TC, 4] i32, valid [B, TC] bool,
+        overflow [B] bool)."""
+        B = gray.shape[0]
+        out_boxes, out_valid = [], []
+        overflow = jnp.zeros((B,), bool)
+        d = self._dense
+
+        for l, caps, (map_x, map_y) in zip(self.levels, self._level_caps,
+                                           self._maps):
+            img = resize_linear_exact(gray, (l.sw, l.sh))
+            ii = integral_image(img)
+            iisq = sq_integral_image(img)
+            iit = tilted_integral_image(img) if self._uses_tilt else None
+            ny, nx, step = l.ny, l.nx, l.ystep
+            nwin = ny * nx
+
+            # variance normalization, dense
+            valsum = self._dense_rect_sum(ii, self._norm_corners, ny, nx, step)
+            sqv = self._dense_rect_sum(iisq, self._norm_corners, ny, nx, step)
+            sq_u = jax.lax.bitcast_convert_type(sqv, jnp.uint32)
+            vf = valsum.astype(jnp.float32)
+            nf = self._norm_area * sq_u.astype(jnp.float32) - vf * vf
+            # OpenCV 4.x rejects windows whose pixel stddev is <= 10, i.e.
+            # nf <= 100*area^2 (empirically pinned against the golden tool:
+            # sigma == 10.00 fails, 10.03 passes).
+            win_valid = nf > 100.0 * self._norm_area * self._norm_area
+            vnf = jnp.where(win_valid,
+                            1.0 / jnp.sqrt(jnp.maximum(nf, 1e-20)), 1.0)
+
+            # dense block
+            cache: dict[int, jnp.ndarray] = {}
+            alive = win_valid
+            widx, n_d = 0, len(d["feat0"])
+            for s_idx in range(self.n_dense_stages):
+                ssum = jnp.zeros_like(vnf)
+                while widx < n_d and d["stage"][widx] == s_idx:
+                    f0 = self._dense_feature(ii, iit, int(d["feat0"][widx]),
+                                             ny, nx, step, cache) * vnf
+                    fL = self._dense_feature(ii, iit, int(d["featL"][widx]),
+                                             ny, nx, step, cache) * vnf
+                    fR = self._dense_feature(ii, iit, int(d["featR"][widx]),
+                                             ny, nx, step, cache) * vnf
+                    ssum = ssum + self._weak_tree(
+                        f0, fL, fR, d["thr0"][widx], d["thrL"][widx],
+                        d["thrR"][widx], d["leavesL"][widx], d["leavesR"][widx])
+                    widx += 1
+                alive = alive & (ssum >= d["stage_thr"][s_idx])
+
+            alive_flat = alive.reshape(B, nwin)
+            vnf_flat = vnf.reshape(B, nwin)
+
+            if not self._blocks:
+                # tiny cascades: no matmul blocks — emit dense survivors
+                cap = min(nwin, self._max_capacity)
+                sel, sel_alive, count = self._compact(alive_flat, cap)
+                overflow = overflow | (count > cap)
+                win_ids = sel
+            else:
+                # first compaction + one-time patch gather
+                cap0 = caps[0]
+                sel, sel_alive, count = self._compact(alive_flat, cap0)
+                overflow = overflow | (count > cap0)
+                win_ids = sel
+                iy, ix = sel // nx, sel % nx
+                y, x = iy * step, ix * step
+                sw1 = l.sw + 1
+                base = y * sw1 + x
+                poff = (self._patch_dy * sw1 + self._patch_dx)[None, None, :]
+                idx = base[:, :, None] + poff
+                k0 = sel.shape[1]
+                patch = jnp.take_along_axis(
+                    ii.reshape(B, -1), idx.reshape(B, -1), axis=1
+                ).reshape(B, k0, self._ph, self._pw)
+                patch = (patch - patch[:, :, :1, :] - patch[:, :, :, :1]
+                         + patch[:, :, :1, :1])
+                patch = patch.reshape(B, k0, -1).astype(jnp.float32)
+                if self._uses_tilt:
+                    patch_t = jnp.take_along_axis(
+                        iit.reshape(B, -1), idx.reshape(B, -1), axis=1
+                    ).reshape(B, k0, -1)
+                    patch_t = (patch_t - patch_t[:, :, :1]).astype(jnp.float32)
+                else:
+                    patch_t = None
+                vnf_sel = jnp.take_along_axis(vnf_flat, sel, axis=1)
+
+                for bi, blk in enumerate(self._blocks):
+                    if bi > 0 and caps[bi] < sel_alive.shape[1]:
+                        # re-compact among current survivors
+                        sel2, sel_alive, count = self._compact(
+                            sel_alive, caps[bi])
+                        overflow = overflow | (count > caps[bi])
+                        win_ids = jnp.take_along_axis(win_ids, sel2, axis=1)
+                        patch = jnp.take_along_axis(
+                            patch, sel2[:, :, None], axis=1)
+                        if patch_t is not None:
+                            patch_t = jnp.take_along_axis(
+                                patch_t, sel2[:, :, None], axis=1)
+                        vnf_sel = jnp.take_along_axis(vnf_sel, sel2, axis=1)
+                    passed = self._block_eval(blk, patch, patch_t, vnf_sel)
+                    sel_alive = sel_alive & passed
+
+            iy, ix = win_ids // nx, win_ids % nx
+            bx = jnp.asarray(map_x)[ix]
+            by = jnp.asarray(map_y)[iy]
+            boxes = jnp.stack(
+                [bx, by, jnp.full_like(bx, l.out_w), jnp.full_like(bx, l.out_h)],
+                axis=-1)
+            out_boxes.append(boxes)
+            out_valid.append(sel_alive)
+
+        return (jnp.concatenate(out_boxes, axis=1),
+                jnp.concatenate(out_valid, axis=1),
+                overflow)
+
+    # ------------------------------------------------------------------- API
+    def detect_raw(self, gray):
+        """gray [B,H,W] or [H,W] uint8 → (boxes, valid, overflow) on device."""
+        gray = jnp.asarray(gray)
+        if gray.ndim == 2:
+            gray = gray[None]
+        if gray.shape[-2:] != (self.image_h, self.image_w):
+            raise ValueError(
+                f"frame shape {gray.shape[-2:]} does not match engine size "
+                f"({self.image_h}, {self.image_w}); build a CascadeEngine for "
+                "this resolution")
+        return self._detect_jit(gray)
+
+    def detect(self, gray, min_neighbors: int = 3) -> list[np.ndarray]:
+        """Full detectMultiScale parity: per-frame grouped [M,4] (x,y,w,h).
+
+        min_neighbors == 0 skips grouping entirely (OpenCV semantics).
+        """
+        boxes, valid, _ = self.detect_raw(gray)
+        boxes = np.asarray(boxes)
+        valid = np.asarray(valid)
+        if min_neighbors == 0:
+            return [boxes[b][valid[b]] for b in range(boxes.shape[0])]
+        return [
+            group_rectangles_np(boxes[b][valid[b]], min_neighbors)
+            for b in range(boxes.shape[0])
+        ]
+
+    def candidates(self, gray) -> list[np.ndarray]:
+        """Raw accepted windows per frame (pre-grouping), for parity tests."""
+        boxes, valid, _ = self.detect_raw(gray)
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+        return [boxes[b][valid[b]] for b in range(boxes.shape[0])]
+
+
+@functools.lru_cache(maxsize=64)
+def load_cascade(path: str) -> HaarCascade:
+    from .xml_loader import load_cascade_xml
+    return load_cascade_xml(path)
