@@ -1,0 +1,214 @@
+"""ROI-scoped part detection — the shared core of the eye / mouth / nose /
+ear detectors (SURVEY.md §2.4.5: one implementation parameterized by ROI
+geometry, cascades and dedup rules).
+
+Reference pattern (kmseyedetect.cpp:915-1102 and siblings): per frame,
+detect faces on a 160-wide image, then run a part cascade over a
+face-relative ROI crop of the part-resolution image, then merge results
+temporally.
+
+TPU-native design deviation (documented): instead of per-face dynamic ROI
+crops (dynamic shapes don't compile), each part cascade runs ONCE over the
+whole part-resolution frame batch — a single jitted multiscale pass — and
+candidate windows are then assigned to face ROIs by containment on host.
+Quality-equivalent; window grids differ from per-crop scans by at most the
+stride phase (see docs/OPENCV_PARITY.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..cascade.engine import CascadeEngine
+from ..cascade.xml_loader import load_cascade_xml
+from ..ops.histogram import equalize_hist
+from ..ops.resize import resize_linear_exact
+from ..ops.grouping import group_rectangles_np
+from .base import DetectorConfig, GopScheduler, EventGate, multi_scale_to_pyramid_factor
+from .face import DEFAULT_FACE_CASCADE
+
+
+def cv_round(x):
+    return int(np.rint(x))
+
+
+@dataclasses.dataclass
+class PartDetectorConfig(DetectorConfig):
+    """Common part-detector knobs. width_to_process defaults to 320
+    (kmseyedetect.cpp:24-25); the face pass runs at 160 like the reference's
+    internal face cascade."""
+
+    width_to_process: int = 320
+    face_cascade_path: str = DEFAULT_FACE_CASCADE
+    face_width: int = 160
+    euclidean_distance: int = 7
+
+
+class Roi:
+    __slots__ = ("x", "y", "w", "h")
+
+    def __init__(self, x, y, w, h):
+        self.x, self.y, self.w, self.h = int(x), int(y), int(w), int(h)
+
+    def clip(self, W, H):
+        x0 = max(0, self.x); y0 = max(0, self.y)
+        x1 = min(W, self.x + self.w); y1 = min(H, self.y + self.h)
+        return Roi(x0, y0, max(0, x1 - x0), max(0, y1 - y0))
+
+    def contains_box(self, b):
+        return (b[0] >= self.x and b[1] >= self.y
+                and b[0] + b[2] <= self.x + self.w
+                and b[1] + b[3] <= self.y + self.h)
+
+
+class PartDetectorBase:
+    """Shared machinery: batched face pass + batched part pass + per-ROI
+    candidate assignment. Subclasses define ROI geometry and merge rules."""
+
+    # per-module cascade parameters (reference call sites; see models/*.py)
+    FACE_MIN_NEIGHBORS = 2
+    FACE_MIN_SIZE = (3, 3)
+    PART_SCALE_FACTOR = 1.1
+    PART_MIN_NEIGHBORS = 3
+    PART_MIN_SIZE = (0, 0)
+
+    def __init__(self, frame_size: tuple[int, int], config: PartDetectorConfig,
+                 part_cascades: dict[str, str]):
+        self.config = config
+        self.frame_w, self.frame_h = frame_size
+        # face resolution (o2f) and part resolution (o2p)
+        self.face_w = min(config.face_width, self.frame_w)
+        self.face_h = int(round(self.frame_h * self.face_w / self.frame_w))
+        self.part_w = min(config.width_to_process, self.frame_w)
+        self.part_h = int(round(self.frame_h * self.part_w / self.frame_w))
+        self.scale_f2p = self.part_w / self.face_w     # face-res → part-res
+        self.scale_p2o = self.frame_w / self.part_w    # part-res → original
+
+        self.face_engine = CascadeEngine(
+            load_cascade_xml(config.face_cascade_path),
+            (self.face_w, self.face_h),
+            multi_scale_to_pyramid_factor(config.multi_scale_factor),
+            min_size=self.FACE_MIN_SIZE,
+        )
+        self.part_engines = {
+            name: CascadeEngine(
+                load_cascade_xml(path), (self.part_w, self.part_h),
+                self.PART_SCALE_FACTOR, min_size=self.PART_MIN_SIZE,
+            )
+            for name, path in part_cascades.items()
+        }
+        self.gop = GopScheduler(config.process_x_every_4_frames)
+        self.gate = EventGate(config.detect_event,
+                              config.process_x_every_4_frames)
+        self._prev: dict[str, list] = {}   # temporal merge state per output key
+        self.frames_with_no_detection = 0
+
+    # ------------------------------------------------------------ device part
+    def _device_pass(self, gray):
+        """One jitted pass: both resolutions resized+equalized+detected."""
+        gray = jnp.asarray(gray)
+        if gray.ndim == 2:
+            gray = gray[None]
+        face_img = equalize_hist(
+            resize_linear_exact(gray, (self.face_w, self.face_h)))
+        part_img = equalize_hist(
+            resize_linear_exact(gray, (self.part_w, self.part_h)))
+        face_raw = self.face_engine.detect_raw(face_img)
+        part_raw = {name: eng.detect_raw(part_img)
+                    for name, eng in self.part_engines.items()}
+        return face_raw, part_raw
+
+    def _faces_from_raw(self, face_raw, b: int) -> np.ndarray:
+        boxes, valid, _ = face_raw
+        cand = np.asarray(boxes[b])[np.asarray(valid[b])]
+        return group_rectangles_np(cand, self.FACE_MIN_NEIGHBORS)
+
+    def _part_candidates(self, part_raw, name: str, b: int) -> np.ndarray:
+        boxes, valid, _ = part_raw[name]
+        return np.asarray(boxes[b])[np.asarray(valid[b])]
+
+    def _roi_detect(self, candidates: np.ndarray, roi: Roi,
+                    biggest: bool) -> list[tuple[int, int, int, int]]:
+        """Group candidates inside a ROI; optionally keep only the biggest
+        (the reference's FIND_BIGGEST usage)."""
+        inside = [c for c in candidates if roi.contains_box(c)]
+        if not inside:
+            return []
+        grouped = group_rectangles_np(np.array(inside), self.PART_MIN_NEIGHBORS)
+        out = [tuple(int(v) for v in g) for g in grouped]
+        if biggest and out:
+            out = [max(out, key=lambda r: r[2] * r[3])]
+        return out
+
+    def _merge_consecutive(self, key: str, new: list, euclidean: int) -> list:
+        """Anti-vibration merge (kmseyedetect.cpp:864-900 and siblings):
+        keep the previous box when its center moved less than `euclidean`."""
+        prev = self._prev.get(key, [])
+        res = []
+        remaining = list(new)
+        for p in prev:
+            pc = (p[0] + p[2] // 2, p[1] + p[3] // 2)
+            hit = None
+            for c in remaining:
+                cc = (c[0] + c[2] // 2, c[1] + c[3] // 2)
+                if np.hypot(cc[0] - pc[0], cc[1] - pc[1]) < euclidean:
+                    hit = c
+                    break
+            if hit is not None:
+                res.append(p)
+                remaining.remove(hit)
+        res.extend(remaining)
+        self._prev[key] = res
+        return res
+
+    def _to_original(self, rects, offset_x=0, offset_y=0):
+        """ROI-local → original pixels like transform_2_global_coordinates
+        (kmseyedetect.cpp:902-913): x=(roi.x+x)*scale, w=(w-1)*scale."""
+        s = self.scale_p2o
+        return [
+            (cv_round((offset_x + x) * s), cv_round((offset_y + y) * s),
+             cv_round((w - 1) * s), cv_round((h - 1) * s))
+            for (x, y, w, h) in rects
+        ]
+
+    # ------------------------------------------------------------- host logic
+    def process(self, gray, face_boxes=None):
+        """gray [B?,H,W]; face_boxes: optional per-frame face boxes in
+        ORIGINAL coordinates (the detect-event path, where an upstream face
+        detector feeds boxes; kmseyedetect.cpp:680-724). Returns a list per
+        frame of dicts of named detections in original coordinates."""
+        gray = np.asarray(gray)
+        if gray.ndim == 2:
+            gray = gray[None]
+        n = gray.shape[0]
+        mask = self.gop.mask(n)
+        if face_boxes is None:
+            gate_mask = np.array([self.gate.should_process() for _ in range(n)])
+            mask = mask & gate_mask
+        results = []
+        if not mask.any():
+            return [self._idle_result() for _ in range(n)]
+        face_raw, part_raw = self._device_pass(gray[mask])
+        bi = 0
+        for i in range(n):
+            if not mask[i]:
+                results.append(self._idle_result())
+                continue
+            if face_boxes is not None and face_boxes[i] is not None:
+                # event-supplied faces are in original coords → face-res
+                faces = np.rint(np.asarray(face_boxes[i]).reshape(-1, 4)
+                                * (self.face_w / self.frame_w)).astype(np.int32)
+            else:
+                faces = self._faces_from_raw(face_raw, bi)
+            results.append(self._process_frame(faces, part_raw, bi))
+            bi += 1
+        return results
+
+    def _idle_result(self):
+        return {}
+
+    def _process_frame(self, faces, part_raw, b):  # pragma: no cover - abstract
+        raise NotImplementedError

@@ -52,12 +52,14 @@ def face_scene(
 
 
 def face_clip(n_frames: int = 8, w: int = 640, h: int = 480, seed: int = 0):
-    """Clip of frames with faces drifting a few px/frame (exercises tracking)."""
+    """Clip of frames with a large face drifting a few px/frame (exercises
+    tracking at the reference's 160-px working width, where small faces are
+    sub-window-sized)."""
     frames = []
     for t in range(n_frames):
         frames.append(face_scene(
             w, h,
-            faces=((200 + 3 * t, 200 + 2 * t, 60), (460 - 2 * t, 300, 42)),
+            faces=((280 + 4 * t, 230 + 2 * t, 150),),
             noise=5, seed=seed + t,
         ))
     return np.stack(frames)
