@@ -1,0 +1,277 @@
+"""Remote-object API surface — the Kurento-compatible layer (L2/L3 rebuild).
+
+Each class mirrors its kmd.json remote class 1:1 — same class name, same
+method names and parameters (e.g. nubofacedetector.NuboFaceDetector.kmd.json:
+2-234; generated Impl setters NuboFaceDetectorImpl.cpp:158-237) — mapped
+onto the TPU filter models instead of g_object_set on a GStreamer element.
+
+Events: subscribing to "OnFace"/"OnEye"/... delivers payloads with the
+reference's complex types (FaceInfo{name,x,y,width,height} lists) built from
+the same wire string the reference emits, rate-limited by events-ms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..models.face import FaceDetector, FaceDetectorConfig
+from ..models.eye import EyeDetector, EyeDetectorConfig
+from ..models.mouth import MouthDetector, MouthDetectorConfig
+from ..models.nose import NoseDetector, NoseDetectorConfig
+from ..models.ear import EarDetector, EarDetectorConfig
+from ..models.tracker import Tracker, TrackerConfig
+from ..pipeline.events import EventRateLimiter, to_wire_string, Detection
+
+
+@dataclasses.dataclass
+class Info:
+    """The kmd complex type {name, x, y, width, height} (FaceInfo/EyeInfo/
+    MouthInfo/NoseInfo/EarInfo/TrackerInfo)."""
+
+    name: str
+    x: int
+    y: int
+    width: int
+    height: int
+
+
+class MediaPipeline:
+    """Lifecycle container (the reference's MediaPipelineImpl analog):
+    elements are created in a pipeline and fed frame batches by the host
+    ingest (the WebRTC/RTP decode path lives outside this framework)."""
+
+    def __init__(self, frame_size=(640, 480)):
+        self.frame_size = frame_size
+        self.elements = []
+
+    def register(self, el):
+        self.elements.append(el)
+        return el
+
+    def release(self):
+        self.elements.clear()
+
+
+class _FilterObject:
+    """Shared method surface (every kmd module repeats these)."""
+
+    EVENT_NAME = "OnFace"
+    INFO_NAME = "face"
+
+    def __init__(self, mediaPipeline: MediaPipeline):
+        self.pipeline = mediaPipeline
+        self._listeners = {}
+        self._rate = EventRateLimiter(30001)
+        self._dirty = True
+        self._model = None
+        mediaPipeline.register(self)
+
+    # --- knob plumbing ----------------------------------------------------
+    def _set(self, **kw):
+        for k, v in kw.items():
+            setattr(self._config, k, v)
+        self._dirty = True
+
+    def _ensure_model(self):
+        if self._dirty or self._model is None:
+            self._model = self._build_model()
+            self._dirty = False
+        return self._model
+
+    # --- kmd methods common to all detector modules -----------------------
+    def detectByEvent(self, event: int):
+        self._set(detect_event=int(event))
+
+    def sendMetaData(self, metaData: int):
+        self._set(send_meta_data=int(metaData))
+
+    def multiScaleFactor(self, scaleFactor: int):
+        self._set(multi_scale_factor=int(scaleFactor))
+
+    def processXevery4Frames(self, xper4: int):
+        self._set(process_x_every_4_frames=int(xper4))
+
+    def widthToProcess(self, width: int):
+        self._set(width_to_process=int(width))
+
+    def activateServerEvents(self, activate: int, time: int):
+        self._set(activate_events=int(activate), events_ms=int(time))
+        self._rate = EventRateLimiter(int(time))
+
+    def setOverlayedImage(self, uri: str, offsetXPercent: float,
+                          offsetYPercent: float, widthPercent: float,
+                          heightPercent: float):
+        self._overlay = (uri, offsetXPercent, offsetYPercent,
+                         widthPercent, heightPercent)
+
+    def unsetOverlayedImage(self):
+        self._overlay = None
+
+    # --- events -----------------------------------------------------------
+    def addEventListener(self, event: str, callback):
+        self._listeners.setdefault(event, []).append(callback)
+
+    def _emit(self, rects_with_names):
+        if not self._config.activate_events or not rects_with_names:
+            return
+        if not self._rate.ready():
+            return
+        infos = [Info(n, *r[:4]) for (n, r) in rects_with_names]
+        wire = to_wire_string(
+            [Detection(n, *r[:4]) for (n, r) in rects_with_names])
+        for cb in self._listeners.get(self.EVENT_NAME, []):
+            cb({"type": self.EVENT_NAME,
+                f"{self.INFO_NAME}Info": infos, "wire": wire})
+
+    # --- frame feeding ----------------------------------------------------
+    def process(self, frames):
+        raise NotImplementedError
+
+
+class NuboFaceDetector(_FilterObject):
+    EVENT_NAME = "OnFace"
+    INFO_NAME = "face"
+
+    def __init__(self, mediaPipeline):
+        self._config = FaceDetectorConfig()
+        self._overlay = None
+        super().__init__(mediaPipeline)
+
+    def _build_model(self):
+        return FaceDetector(self.pipeline.frame_size, self._config)
+
+    # face-only kmd methods
+    def showFaces(self, viewFaces: int):
+        self._set(view=int(viewFaces))
+
+    def euclideanDistance(self, distance: int):
+        self._set(euclidean_distance=int(distance))
+
+    def trackThreshold(self, threshold: int):
+        self._set(track_threshold=int(threshold))
+
+    def areaThreshold(self, threshold: int):
+        self._set(area_threshold=int(threshold))
+
+    def process(self, frames):
+        model = self._ensure_model()
+        res = model.process(frames)
+        for faces in res:
+            self._emit([("face", f.rect()) for f in faces])
+        return res
+
+
+class _PartObject(_FilterObject):
+    def process(self, frames, face_boxes=None):
+        model = self._ensure_model()
+        res = model.process(frames, face_boxes=face_boxes)
+        for frame_res in res:
+            self._emit([(k, r) for k, rects in frame_res.items()
+                        for r in rects])
+        return res
+
+
+class NuboEyeDetector(_PartObject):
+    EVENT_NAME = "OnEye"
+    INFO_NAME = "eye"
+
+    def __init__(self, mediaPipeline):
+        self._config = EyeDetectorConfig()
+        self._overlay = None
+        super().__init__(mediaPipeline)
+
+    def showEyes(self, viewEyes: int):
+        self._set(view=int(viewEyes))
+
+    def _build_model(self):
+        return EyeDetector(self.pipeline.frame_size, self._config)
+
+
+class NuboMouthDetector(_PartObject):
+    EVENT_NAME = "OnMouth"
+    INFO_NAME = "mouth"
+
+    def __init__(self, mediaPipeline):
+        self._config = MouthDetectorConfig()
+        self._overlay = None
+        super().__init__(mediaPipeline)
+
+    def showMouths(self, viewMouths: int):
+        self._set(view=int(viewMouths))
+
+    def _build_model(self):
+        return MouthDetector(self.pipeline.frame_size, self._config)
+
+
+class NuboNoseDetector(_PartObject):
+    EVENT_NAME = "OnNose"
+    INFO_NAME = "nose"
+
+    def __init__(self, mediaPipeline):
+        self._config = NoseDetectorConfig()
+        self._overlay = None
+        super().__init__(mediaPipeline)
+
+    def showNoses(self, viewNoses: int):
+        self._set(view=int(viewNoses))
+
+    def _build_model(self):
+        return NoseDetector(self.pipeline.frame_size, self._config)
+
+
+class NuboEarDetector(_PartObject):
+    EVENT_NAME = "OnEar"
+    INFO_NAME = "ear"
+
+    def __init__(self, mediaPipeline):
+        self._config = EarDetectorConfig()
+        self._overlay = None
+        super().__init__(mediaPipeline)
+
+    def showEars(self, viewEars: int):
+        self._set(view=int(viewEars))
+
+    def _build_model(self):
+        return EarDetector(self.pipeline.frame_size, self._config)
+
+
+class NuboTracker(_FilterObject):
+    EVENT_NAME = "OnTracker"
+    INFO_NAME = "tracker"
+
+    def __init__(self, mediaPipeline):
+        self._config = TrackerConfig()
+        self._overlay = None
+        super().__init__(mediaPipeline)
+
+    def _build_model(self):
+        return Tracker(self.pipeline.frame_size, self._config)
+
+    # tracker kmd methods (nubotracker.NuboTracker.kmd.json)
+    def setThreshold(self, threshold: int):
+        self._set(threshold=int(threshold))
+
+    def setMinArea(self, minArea: int):
+        self._set(min_area=int(minArea))
+
+    def setMaxArea(self, maxArea: int):
+        self._set(max_area=int(maxArea))
+
+    def setDistance(self, distance: int):
+        self._set(distance=int(distance))
+
+    def setVisualMode(self, mode: int):
+        self._set(visual_mode=int(mode))
+
+    def activateServerEvents(self, activate: int, time: int):
+        self._set(activate_events=int(activate), events_ms=int(time))
+        self._rate = EventRateLimiter(int(time))
+
+    def process(self, frames):
+        model = self._ensure_model()
+        res = model.process(frames)
+        for blobs in res:
+            self._emit([("tracker", b) for b in blobs])
+        return res

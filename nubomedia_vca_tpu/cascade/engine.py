@@ -311,17 +311,24 @@ class CascadeEngine:
         return sel, sel_alive, count
 
     def _block_eval(self, blk: _Block, patch, patch_t, vnf_sel):
-        """patch [B,C,PP] f32 (doubly-relative), vnf_sel [B,C] → pass [B,C]."""
-        feats = patch @ blk.w_sum
+        """patch [B,C,PP] f32 (doubly-relative), vnf_sel [B,C] → pass [B,C].
+
+        Precision.HIGHEST is mandatory: TPU matmuls default to bf16 on the
+        MXU, which rounds the exact integral-patch values (up to ~1e5) by
+        hundreds and destroys cascade parity. HIGHEST synthesizes true-f32
+        products, keeping the evaluation exact (inputs are exact ints).
+        """
+        hi = jax.lax.Precision.HIGHEST
+        feats = jnp.matmul(patch, blk.w_sum, precision=hi)
         if blk.w_tilt is not None:
-            feats = feats + patch_t @ blk.w_tilt
+            feats = feats + jnp.matmul(patch_t, blk.w_tilt, precision=hi)
         vals = feats * vnf_sel[:, :, None]
         v0 = jnp.take(vals, blk.feat0, axis=2)
         vL = jnp.take(vals, blk.featL, axis=2)
         vR = jnp.take(vals, blk.featR, axis=2)
         wout = self._weak_tree(v0, vL, vR, blk.thr0, blk.thrL, blk.thrR,
                                blk.leavesL, blk.leavesR)
-        ssums = wout @ blk.stage_onehot
+        ssums = jnp.matmul(wout, blk.stage_onehot, precision=hi)
         return jnp.all(ssums >= blk.stage_thr, axis=-1)
 
     # ---------------------------------------------------------------- detect

@@ -1,0 +1,146 @@
+"""ctypes binding for the native ingest feeder (cpp/ingest), with a pure
+NumPy fallback so everything runs without the native build."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from collections import deque
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "ingest")
+_SO = os.path.join(_DIR, "libvca_ingest.so")
+
+
+def _load():
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.vca_ingest_create.restype = ctypes.c_void_p
+    lib.vca_ingest_create.argtypes = [ctypes.c_int] * 3
+    lib.vca_ingest_destroy.argtypes = [ctypes.c_void_p]
+    lib.vca_ingest_push.restype = ctypes.c_int
+    lib.vca_ingest_push.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int64,
+    ]
+    lib.vca_ingest_collect.restype = ctypes.c_int
+    lib.vca_ingest_collect.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vca_ingest_pending.restype = ctypes.c_int
+    lib.vca_ingest_pending.argtypes = [ctypes.c_void_p]
+    lib.vca_ingest_dropped.restype = ctypes.c_int64
+    lib.vca_ingest_dropped.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_LIB = _load()
+
+
+class NativeIngest:
+    """Multi-stream frame assembler (native when available)."""
+
+    def __init__(self, width: int, height: int, capacity: int = 256):
+        self.w, self.h = width, height
+        if _LIB is None:
+            raise RuntimeError("native ingest library unavailable")
+        self._h = _LIB.vca_ingest_create(width, height, capacity)
+
+    def push(self, stream: int, frame: np.ndarray, pts: int = 0) -> None:
+        frame = np.ascontiguousarray(frame, np.uint8)
+        channels = 1 if frame.ndim == 2 else frame.shape[2]
+        stride = frame.strides[0]
+        rc = _LIB.vca_ingest_push(
+            self._h, stream, frame.ctypes.data, stride, channels, pts)
+        if rc != 0:
+            raise ValueError(f"bad frame format (channels={channels})")
+
+    def collect(self, max_frames: int, min_frames: int = 1,
+                wait_ms: int = 0):
+        out = np.empty((max_frames, self.h, self.w), np.uint8)
+        pts = np.empty(max_frames, np.int64)
+        streams = np.empty(max_frames, np.int32)
+        n = _LIB.vca_ingest_collect(
+            self._h, out.ctypes.data, pts.ctypes.data, streams.ctypes.data,
+            max_frames, min_frames, wait_ms)
+        return out[:n], pts[:n], streams[:n]
+
+    def pending(self) -> int:
+        return _LIB.vca_ingest_pending(self._h)
+
+    @property
+    def dropped(self) -> int:
+        return _LIB.vca_ingest_dropped(self._h)
+
+    def close(self):
+        if self._h:
+            _LIB.vca_ingest_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PythonIngest:
+    """Pure-python fallback with identical semantics."""
+
+    def __init__(self, width: int, height: int, capacity: int = 256):
+        self.w, self.h = width, height
+        self.capacity = capacity
+        self._q = deque()
+        self._mu = threading.Lock()
+        self.dropped = 0
+
+    def push(self, stream: int, frame: np.ndarray, pts: int = 0) -> None:
+        frame = np.asarray(frame)
+        if frame.ndim == 3:
+            from ..ops.color import bgr_to_gray
+            import jax.numpy as jnp
+            frame = np.asarray(bgr_to_gray(jnp.asarray(frame[..., :3])))
+        with self._mu:
+            if len(self._q) >= self.capacity:
+                self._q.popleft()
+                self.dropped += 1
+            self._q.append((frame.astype(np.uint8), pts, stream))
+
+    def collect(self, max_frames: int, min_frames: int = 1, wait_ms: int = 0):
+        frames, pts, streams = [], [], []
+        with self._mu:
+            while self._q and len(frames) < max_frames:
+                f, p, s = self._q.popleft()
+                frames.append(f)
+                pts.append(p)
+                streams.append(s)
+        if not frames:
+            return (np.empty((0, self.h, self.w), np.uint8),
+                    np.empty(0, np.int64), np.empty(0, np.int32))
+        return (np.stack(frames), np.asarray(pts, np.int64),
+                np.asarray(streams, np.int32))
+
+    def pending(self) -> int:
+        return len(self._q)
+
+    def close(self):
+        pass
+
+
+def make_ingest(width: int, height: int, capacity: int = 256):
+    """Native feeder when the .so builds; python fallback otherwise."""
+    if _LIB is not None:
+        return NativeIngest(width, height, capacity)
+    return PythonIngest(width, height, capacity)

@@ -1,0 +1,134 @@
+"""Learned detector head — the framework's trainable model family.
+
+The reference ships fixed 2001-era Haar cascades; a modern deployment wants
+to fine-tune detectors on its own streams. This module provides a compact
+anchor-free conv detector (objectness + box-regression grid) that can be
+trained to mimic/replace any cascade (distillation from cascade detections)
+— and it is the model used to exercise multi-chip training shardings
+(data-parallel batch × tensor-parallel head features).
+
+Pure-JAX (explicit param pytrees) so shardings can be annotated directly;
+bfloat16 activations on the MXU path, float32 params/optimizer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+STRIDE = 16  # total downsample: detection grid cell size in pixels
+
+
+def init_params(key, channels=(16, 32, 64, 128), head_dim=256) -> dict:
+    """Backbone: 4 stride-2 3x3 convs; head: 1x1 -> head_dim -> 5 outputs."""
+    params = {}
+    cin = 1
+    for i, c in enumerate(channels):
+        key, k1 = jax.random.split(key)
+        params[f"conv{i}"] = {
+            "w": jax.random.normal(k1, (3, 3, cin, c), jnp.float32)
+                 * np.sqrt(2.0 / (9 * cin)),
+            "b": jnp.zeros((c,), jnp.float32),
+        }
+        cin = c
+    key, k1, k2 = jax.random.split(key, 3)
+    params["head1"] = {
+        "w": jax.random.normal(k1, (cin, head_dim), jnp.float32)
+             * np.sqrt(2.0 / cin),
+        "b": jnp.zeros((head_dim,), jnp.float32),
+    }
+    params["head2"] = {
+        "w": jax.random.normal(k2, (head_dim, 5), jnp.float32) * 0.01,
+        "b": jnp.zeros((5,), jnp.float32),
+    }
+    return params
+
+
+def forward(params: dict, gray: jnp.ndarray) -> jnp.ndarray:
+    """gray [B, H, W] uint8 → [B, H/16, W/16, 5] (logit, dx, dy, logw, logh).
+
+    bfloat16 activations; convs/matmuls hit the MXU.
+    """
+    x = (gray.astype(jnp.bfloat16) / 128.0 - 1.0)[..., None]
+    for i in range(4):
+        w = params[f"conv{i}"]["w"].astype(jnp.bfloat16)
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16)
+        x = jax.nn.relu(x + params[f"conv{i}"]["b"].astype(jnp.bfloat16))
+    h = jnp.einsum("bhwc,cd->bhwd", x,
+                   params["head1"]["w"].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    h = jax.nn.relu(h + params["head1"]["b"])
+    out = jnp.einsum("bhwd,de->bhwe", h.astype(jnp.bfloat16),
+                     params["head2"]["w"].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out + params["head2"]["b"]
+
+
+def boxes_to_targets(boxes, valid, img_h, img_w):
+    """[B,N,4] boxes + [B,N] valid → detection-grid targets.
+
+    obj [B,gh,gw]; reg [B,gh,gw,4] (center offset within cell /STRIDE,
+    log w/h relative to STRIDE)."""
+    gh, gw = img_h // STRIDE, img_w // STRIDE
+    B, N = valid.shape
+    obj = jnp.zeros((B, gh, gw), jnp.float32)
+    reg = jnp.zeros((B, gh, gw, 4), jnp.float32)
+    cx = boxes[..., 0] + boxes[..., 2] / 2.0
+    cy = boxes[..., 1] + boxes[..., 3] / 2.0
+    gx = jnp.clip((cx / STRIDE).astype(jnp.int32), 0, gw - 1)
+    gy = jnp.clip((cy / STRIDE).astype(jnp.int32), 0, gh - 1)
+    bidx = jnp.arange(B)[:, None] * jnp.ones((1, N), jnp.int32)
+    obj = obj.at[bidx, gy, gx].max(valid.astype(jnp.float32))
+    t = jnp.stack([
+        cx / STRIDE - gx, cy / STRIDE - gy,
+        jnp.log(jnp.maximum(boxes[..., 2], 1) / STRIDE),
+        jnp.log(jnp.maximum(boxes[..., 3], 1) / STRIDE),
+    ], axis=-1)
+    reg = reg.at[bidx, gy, gx].set(
+        jnp.where(valid[..., None], t, 0.0))
+    return obj, reg
+
+
+def loss_fn(params, gray, obj_t, reg_t):
+    pred = forward(params, gray)
+    obj_logit = pred[..., 0]
+    obj_loss = optax.sigmoid_binary_cross_entropy(obj_logit, obj_t).mean()
+    reg_loss = (jnp.abs(pred[..., 1:] - reg_t)
+                * obj_t[..., None]).sum() / jnp.maximum(obj_t.sum(), 1.0)
+    return obj_loss + reg_loss, (obj_loss, reg_loss)
+
+
+def make_optimizer(lr=3e-4):
+    return optax.adamw(lr, weight_decay=1e-4)
+
+
+def train_step(params, opt_state, gray, obj_t, reg_t, *, optimizer):
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, gray, obj_t, reg_t)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def decode(pred, threshold=0.5, top_k=32):
+    """[B,gh,gw,5] → (boxes [B,K,4] f32 in pixels, scores [B,K], valid)."""
+    B, gh, gw, _ = pred.shape
+    score = jax.nn.sigmoid(pred[..., 0]).reshape(B, -1)
+    vals, idx = jax.lax.top_k(score, top_k)
+    gy, gx = idx // gw, idx % gw
+    flat = pred.reshape(B, gh * gw, 5)
+    sel = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    cx = (gx + sel[..., 1]) * STRIDE
+    cy = (gy + sel[..., 2]) * STRIDE
+    w = jnp.exp(sel[..., 3]) * STRIDE
+    h = jnp.exp(sel[..., 4]) * STRIDE
+    boxes = jnp.stack([cx - w / 2, cy - h / 2, w, h], axis=-1)
+    return boxes, vals, vals > threshold

@@ -1,0 +1,109 @@
+"""Overlay rendering — batched, jittable replacement for the reference's
+in-place OpenCV drawing (rectangles `BaseFace.cpp:70-82`, circles
+`kmseyedetect.cpp:1071-1100`, costume-image alpha blending
+`kmsfacedetect.cpp:347-502`).
+
+All functions take fixed-capacity box sets (boxes [B,K,4] + valid [B,K]) and
+render with broadcast masks — no data-dependent shapes, O(K·H·W) vector ops
+on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _grid(h, w):
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return ys, xs
+
+
+def draw_rectangles(img, boxes, valid, color=(0, 255, 0), thickness=2):
+    """img [B,H,W] or [B,H,W,C] uint8; boxes [B,K,4] int32; valid [B,K]."""
+    gray = img.ndim == 3
+    if gray:
+        img = img[..., None]
+    B, H, W, C = img.shape
+    ys, xs = _grid(H, W)
+    col = jnp.asarray(color[:C], jnp.uint8)
+    t = thickness
+
+    def per_frame(frame, bxs, val):
+        def body(i, acc):
+            x, y, w, h = bxs[i, 0], bxs[i, 1], bxs[i, 2], bxs[i, 3]
+            inside_outer = ((xs >= x - t) & (xs <= x + w + t)
+                            & (ys >= y - t) & (ys <= y + h + t))
+            inside_inner = ((xs >= x + t) & (xs <= x + w - t)
+                            & (ys >= y + t) & (ys <= y + h - t))
+            border = inside_outer & ~inside_inner & val[i]
+            return jnp.where(border[..., None], col, acc)
+
+        return jax.lax.fori_loop(0, bxs.shape[0], body, frame)
+
+    out = jax.vmap(per_frame)(img, boxes, valid)
+    return out[..., 0] if gray else out
+
+
+def draw_circles(img, boxes, valid, color=(0, 255, 0), thickness=2):
+    """Circles inscribed in the boxes (the eye detector draws circles,
+    kmseyedetect.cpp:1071-1100)."""
+    gray = img.ndim == 3
+    if gray:
+        img = img[..., None]
+    B, H, W, C = img.shape
+    ys, xs = _grid(H, W)
+    col = jnp.asarray(color[:C], jnp.uint8)
+
+    def per_frame(frame, bxs, val):
+        def body(i, acc):
+            x, y, w, h = bxs[i, 0], bxs[i, 1], bxs[i, 2], bxs[i, 3]
+            cx, cy = x + w // 2, y + h // 2
+            r = jnp.maximum(w, h) // 2
+            d2 = (xs - cx) ** 2 + (ys - cy) ** 2
+            ring = (d2 <= (r + thickness) ** 2) & (d2 >= (r - thickness) ** 2)
+            ring = ring & val[i]
+            return jnp.where(ring[..., None], col, acc)
+
+        return jax.lax.fori_loop(0, bxs.shape[0], body, frame)
+
+    out = jax.vmap(per_frame)(img, boxes, valid)
+    return out[..., 0] if gray else out
+
+
+def blend_overlay_image(img, overlay_rgba, boxes, valid,
+                        offset_x_percent=0.0, offset_y_percent=0.0,
+                        width_percent=1.0, height_percent=1.0):
+    """Alpha-blend a costume image over each detection, scaled and offset
+    relative to the box like setOverlayedImage (kmsfacedetect.cpp:427-502).
+
+    img [B,H,W,3] uint8; overlay_rgba [h,w,4] uint8 (alpha 0..255).
+    The overlay is resampled per box by nearest lookup into its texture.
+    """
+    B, H, W, C = img.shape
+    oh, ow = overlay_rgba.shape[:2]
+    ys, xs = _grid(H, W)
+    ov = overlay_rgba.astype(jnp.float32)
+
+    def per_frame(frame, bxs, val):
+        def body(i, acc):
+            x, y, w, h = bxs[i, 0], bxs[i, 1], bxs[i, 2], bxs[i, 3]
+            dx = x + (offset_x_percent * w).astype(jnp.int32)
+            dy = y + (offset_y_percent * h).astype(jnp.int32)
+            dw = jnp.maximum((width_percent * w).astype(jnp.int32), 1)
+            dh = jnp.maximum((height_percent * h).astype(jnp.int32), 1)
+            inside = (xs >= dx) & (xs < dx + dw) & (ys >= dy) & (ys < dy + dh)
+            # texture coordinates (nearest)
+            u = jnp.clip(((xs - dx) * ow) // jnp.maximum(dw, 1), 0, ow - 1)
+            v = jnp.clip(((ys - dy) * oh) // jnp.maximum(dh, 1), 0, oh - 1)
+            texel = ov[v, u]                      # [H,W,4]
+            alpha = (texel[..., 3:4] / 255.0) * inside[..., None] * val[i]
+            rgb = texel[..., :3]
+            return acc * (1 - alpha) + rgb * alpha
+
+        out = jax.lax.fori_loop(0, bxs.shape[0], body,
+                                frame.astype(jnp.float32))
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    return jax.vmap(per_frame)(img, boxes, valid)

@@ -1,0 +1,71 @@
+"""Sharded execution: multi-chip detection and training steps.
+
+Detection: the frame batch (many streams) is sharded over the ``data`` mesh
+axis; the cascade pipeline runs SPMD per shard; detections are gathered with
+an all_gather so every host sees the full result set (SURVEY.md §2.5 —
+"all-gather of per-shard detections").
+
+Training (learned detector): data-parallel over ``data`` with
+tensor-parallel head over ``model``; gradients are combined by XLA from the
+sharding annotations (psum over data for replicated params, reduce-scatter
+style for sharded head weights — all compiler-inserted).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import cnn
+from .mesh import cnn_param_shardings, frame_sharding, replicated
+
+
+def make_sharded_detect(engine, mesh: Mesh):
+    """Jit the cascade engine's detection over a ('data','model') mesh with
+    the frame batch sharded on data. Returns fn(gray [B,H,W]) →
+    (boxes, valid, overflow) fully replicated (all-gathered)."""
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=frame_sharding(mesh),
+        out_shardings=replicated(mesh),
+    )
+    def detect(gray):
+        return engine._detect_impl(gray)
+
+    return detect
+
+
+def make_sharded_train_step(optimizer, mesh: Mesh, params, opt_state):
+    """Returns (train_step_fn, sharded_params, sharded_opt_state) with
+    dp (batch) × tp (head features) shardings applied."""
+    p_shard = cnn_param_shardings(mesh, params)
+    o_shard = jax.tree.map(
+        lambda _: replicated(mesh), opt_state,
+        is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    # optimizer state mirrors param shardings where shapes match
+    def opt_spec(leaf):
+        return replicated(mesh)
+    params = jax.device_put(params, p_shard)
+    opt_state = jax.device_put(opt_state, jax.tree.map(opt_spec, opt_state))
+
+    data_in = NamedSharding(mesh, P("data"))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(p_shard, jax.tree.map(opt_spec, opt_state),
+                      NamedSharding(mesh, P("data", None, None)),
+                      NamedSharding(mesh, P("data", None, None)),
+                      NamedSharding(mesh, P("data", None, None, None))),
+        out_shardings=(p_shard, jax.tree.map(opt_spec, opt_state),
+                       replicated(mesh)),
+        donate_argnums=(0, 1),
+    )
+    def step(params, opt_state, gray, obj_t, reg_t):
+        return cnn.train_step(params, opt_state, gray, obj_t, reg_t,
+                              optimizer=optimizer)
+
+    return step, params, opt_state
