@@ -129,6 +129,32 @@ class _FilterObject:
     def process(self, frames):
         raise NotImplementedError
 
+    # --- rendering (view toggle + setOverlayedImage) ----------------------
+    @staticmethod
+    def _result_rects(result) -> list:
+        if isinstance(result, dict):
+            return [r for rects in result.values() for r in rects]
+        if isinstance(result, list):
+            return [f.rect() if hasattr(f, "rect") else tuple(f)
+                    for f in result]
+        return []
+
+    def render(self, frames, results, fetch=None):
+        """Draw detections (and the costume overlay, when set) onto frames —
+        the reference's in-place view path, as a pure device op."""
+        from .render import render_detections, load_overlay_image
+        if not getattr(self._config, "view", 1):
+            return frames
+        overlay = None
+        if getattr(self, "_overlay", None) is not None:
+            uri, ox, oy, wp, hp = self._overlay
+            overlay = (load_overlay_image(uri, fetch=fetch), (ox, oy, wp, hp))
+        rects = [self._result_rects(r) for r in results]
+        return render_detections(frames, rects, mode=self.RENDER_MODE,
+                                 overlay=overlay)
+
+    RENDER_MODE = "rect"
+
 
 class NuboFaceDetector(_FilterObject):
     EVENT_NAME = "OnFace"
@@ -176,6 +202,7 @@ class _PartObject(_FilterObject):
 class NuboEyeDetector(_PartObject):
     EVENT_NAME = "OnEye"
     INFO_NAME = "eye"
+    RENDER_MODE = "circle"   # the reference draws circles for eyes
 
     def __init__(self, mediaPipeline):
         self._config = EyeDetectorConfig()
