@@ -29,7 +29,7 @@ def main():
     W, H = 1280, 720
     WORK_W = 160
     work_h = int(round(H * WORK_W / W))
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
     engine = CascadeEngine(
         load_cascade_xml(
@@ -55,12 +55,21 @@ def main():
     out = step(gray)
     jax.block_until_ready(out)
 
-    n_iter = 10
+    n_iter = 100  # async-pipelined steady state (amortizes dispatch RTT)
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = step(gray)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+
+    # correctness canary AFTER timing (a host transfer before the loop
+    # degrades all subsequent axon dispatches ~10000x — see memory notes):
+    # face-bearing frames must produce detections.
+    _, valid, _ = out
+    n_det = int(np.asarray(valid).sum())
+    if n_det == 0:
+        print("WARNING: zero detections on face-bearing frames",
+              file=sys.stderr)
 
     fps = B * n_iter / dt
     print(json.dumps({

@@ -21,21 +21,22 @@ def equalize_hist(img: jnp.ndarray) -> jnp.ndarray:
     H, W = x.shape[-2:]
     flat = x.reshape((-1, H * W))
 
-    def one(v):
-        hist = jnp.zeros((256,), jnp.int32).at[v].add(1)
-        total = v.shape[0]
-        nonzero = hist > 0
-        i0 = jnp.argmax(nonzero)  # first non-empty bin
-        h0 = hist[i0]
-        scale = 255.0 / jnp.maximum(total - h0, 1).astype(jnp.float32)
-        csum = jnp.cumsum(hist)
-        # cumulative sum excluding bins <= i0
-        sums = csum - csum[i0]
-        lut = jnp.round(sums.astype(jnp.float32) * scale)
-        lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
-        lut = lut.at[i0].set(0)
-        out = lut[v]
-        return jnp.where(h0 == total, v.astype(jnp.uint8), out)
+    # scatter-add histogram: measured fastest on TPU in the fused pipeline
+    # (a chunked compare-reduce variant was 1000x slower end-to-end)
+    hist = jnp.zeros((flat.shape[0], 256), jnp.int32).at[
+        jnp.arange(flat.shape[0])[:, None], flat].add(1)
 
-    out = jax.vmap(one)(flat)
+    total = H * W
+    i0 = jnp.argmax(hist > 0, axis=1)              # first non-empty bin
+    h0 = jnp.take_along_axis(hist, i0[:, None], axis=1)[:, 0]
+    scale = 255.0 / jnp.maximum(total - h0, 1).astype(jnp.float32)
+    csum = jnp.cumsum(hist, axis=1)
+    c0 = jnp.take_along_axis(csum, i0[:, None], axis=1)
+    sums = csum - c0
+    lut = jnp.clip(jnp.round(sums.astype(jnp.float32) * scale[:, None]),
+                   0, 255).astype(jnp.uint8)
+    lut = jnp.where(jnp.arange(256)[None, :] == i0[:, None],
+                    jnp.uint8(0), lut)
+    out = jnp.take_along_axis(lut, flat, axis=1)
+    out = jnp.where((h0 == total)[:, None], flat.astype(jnp.uint8), out)
     return out.reshape(batch_shape + (H, W))
