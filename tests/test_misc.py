@@ -1,0 +1,115 @@
+"""Core box ops, rendering, IDL emission, sharded detection, color."""
+
+import json
+import os
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from nubomedia_vca_tpu.core.boxes import (
+    centers, areas, iou_matrix, contains, pad_boxes, scale_boxes,
+)
+from nubomedia_vca_tpu.ops.color import yuv420_to_bgr, rgb_to_gray
+from nubomedia_vca_tpu.api.idl import emit_all, MODULES
+from nubomedia_vca_tpu.api.render import render_detections, load_overlay_image
+
+
+def test_boxes_helpers():
+    a = jnp.asarray([[0, 0, 10, 10], [5, 5, 10, 10]], jnp.int32)
+    c = np.asarray(centers(a))
+    assert c.tolist() == [[5, 5], [10, 10]]
+    assert np.asarray(areas(a)).tolist() == [100, 100]
+    m = np.asarray(iou_matrix(a, a))
+    assert np.allclose(np.diag(m), 1.0)
+    assert 0.1 < m[0, 1] < 0.2      # 25/175
+    inside = np.asarray(contains(jnp.asarray([[0, 0, 12, 12]], jnp.int32), a))
+    assert inside.tolist() == [[True, False]]
+    b, v = pad_boxes(np.array([[1, 2, 3, 4]]), 4)
+    assert b.shape == (4, 4) and v.tolist() == [True, False, False, False]
+    s = np.asarray(scale_boxes(a, 2.5))
+    assert s[1].tolist() == [12, 12, 25, 25]   # cvRound half-even
+
+
+def test_yuv_to_bgr_shapes(rng):
+    y = rng.randint(0, 256, (1, 8, 8)).astype(np.uint8)
+    u = np.full((1, 4, 4), 128, np.uint8)
+    v = np.full((1, 4, 4), 128, np.uint8)
+    bgr = np.asarray(yuv420_to_bgr(jnp.asarray(y), jnp.asarray(u),
+                                   jnp.asarray(v)))
+    # neutral chroma → gray-ish bgr equal to Y
+    assert bgr.shape == (1, 8, 8, 3)
+    assert np.abs(bgr.astype(int) - y[..., None].astype(int)).max() <= 1
+
+
+def test_idl_emission(tmp_path):
+    files = emit_all(str(tmp_path))
+    assert len(files) == len(MODULES)
+    face = json.load(open(os.path.join(
+        tmp_path, "nubofacedetector.NuboFaceDetector.kmd.json")))
+    rc = face["remoteClasses"][0]
+    names = {m["name"] for m in rc["methods"]}
+    # exact reference method names present
+    for want in ("showFaces", "detectByEvent", "sendMetaData",
+                 "multiScaleFactor", "processXevery4Frames",
+                 "widthToProcess", "euclideanDistance", "trackThreshold",
+                 "areaThreshold", "activateServerEvents",
+                 "setOverlayedImage", "unsetOverlayedImage"):
+        assert want in names, want
+    assert face["events"][0]["name"] == "OnFace"
+    ct = face["complexTypes"][0]
+    assert ct["name"] == "FaceInfo"
+    assert [p["name"] for p in ct["properties"]] == \
+        ["name", "x", "y", "width", "height"]
+    tracker = json.load(open(os.path.join(
+        tmp_path, "nubotracker.NuboTracker.kmd.json")))
+    tnames = {m["name"] for m in tracker["remoteClasses"][0]["methods"]}
+    for want in ("setThreshold", "setMinArea", "setMaxArea", "setDistance",
+                 "setVisualMode", "activateServerEvents"):
+        assert want in tnames
+
+
+def test_render_detections_gray_and_overlay(tmp_path, rng):
+    frames = rng.randint(0, 100, (2, 48, 64)).astype(np.uint8)
+    rects = [[(10, 10, 20, 20)], []]
+    out = np.asarray(render_detections(frames, rects))
+    assert out.shape == frames.shape
+    assert (out[0] != frames[0]).any() and (out[1] == frames[1]).all()
+
+    ov = np.zeros((8, 8, 4), np.uint8)
+    ov[:, :, 1] = 255
+    ov[:, :, 3] = 128   # half transparent
+    p = os.path.join(tmp_path, "ov.png")
+    cv2.imwrite(p, ov)
+    rgba = load_overlay_image(p)
+    assert rgba.shape == (8, 8, 4)
+    out2 = np.asarray(render_detections(
+        frames, rects, overlay=(rgba, (0.0, 0.0, 1.0, 1.0))))
+    assert out2.shape == (2, 48, 64, 3)
+
+
+def test_sharded_detect_multi_device():
+    from nubomedia_vca_tpu.parallel.mesh import make_mesh
+    from nubomedia_vca_tpu.parallel.sharded import make_sharded_detect
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+    from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
+    from .fixtures import FACE_XML
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    eng = CascadeEngine(load_cascade_xml(FACE_XML), (64, 48), 1.25)
+    detect = make_sharded_detect(eng, mesh)
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (8, 48, 64), np.uint8))
+    boxes, valid, ovf = detect(frames)
+    # result matches the unsharded engine
+    b2, v2, _ = eng.detect_raw(frames)
+    assert np.array_equal(np.asarray(valid), np.asarray(v2))
+    assert np.array_equal(np.asarray(boxes), np.asarray(b2))
+
+
+def test_rgb_vs_bgr_gray(rng):
+    img = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    g1 = np.asarray(rgb_to_gray(jnp.asarray(img)))
+    want = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    assert np.array_equal(g1, want)
