@@ -270,10 +270,18 @@ class CascadeEngine:
             (1, step, step),
         )
 
-    def _dense_rect_sum(self, tab, corners, ny, nx, step):
+    def _dense_rect_sum(self, tab, corners, ny, nx, step, corner_cache=None,
+                        table_key=None):
         acc = None
         for (dy, dx, s) in corners:
-            v = self._slice(tab, dy, dx, ny, nx, step)
+            if corner_cache is not None:
+                key = (table_key, dy, dx)
+                v = corner_cache.get(key)
+                if v is None:
+                    v = self._slice(tab, dy, dx, ny, nx, step)
+                    corner_cache[key] = v
+            else:
+                v = self._slice(tab, dy, dx, ny, nx, step)
             if acc is None:
                 acc = v if s > 0 else -v
             else:
@@ -281,12 +289,17 @@ class CascadeEngine:
         return acc  # int32, exact
 
     def _dense_feature(self, ii, iit, fid, ny, nx, step, cache):
+        """cache holds both per-feature values (int keys) and per-corner
+        slices (tuple keys) — Haar features share corners heavily, so the
+        corner cache shrinks the traced graph substantially."""
         if fid in cache:
             return cache[fid]
         val = None
         for table, corners, wgt in self._feat_rects[fid]:
             tab = ii if table == "sum" else iit
-            rs = self._dense_rect_sum(tab, corners, ny, nx, step).astype(jnp.float32)
+            rs = self._dense_rect_sum(
+                tab, corners, ny, nx, step,
+                corner_cache=cache, table_key=table).astype(jnp.float32)
             term = rs * jnp.float32(wgt)
             val = term if val is None else val + term
         cache[fid] = val
