@@ -186,6 +186,28 @@ def tracker_step(state: TrackerState, gray, ts, *, threshold, mhi_duration,
     return new_state, rects, valid, mask, orient
 
 
+@functools.partial(jax.jit, static_argnames=("threshold", "mhi_duration",
+                                             "seg_thresh", "max_blobs"))
+def tracker_scan(state: TrackerState, grays, timestamps, *, threshold,
+                 mhi_duration, seg_thresh, max_blobs):
+    """Whole frame *window* in one device program via `lax.scan` — the
+    long-video-context form (SURVEY.md §5: chunked scan over frame windows
+    carrying the MHI recurrence). grays [T,H,W], timestamps [T] →
+    (final state, rects [T,K,4], valid [T,K])."""
+
+    def body(st, inp):
+        g, ts = inp
+        st2, rects, valid, _, _ = tracker_step(
+            st, g, ts, threshold=threshold, mhi_duration=mhi_duration,
+            seg_thresh=seg_thresh, max_blobs=max_blobs)
+        return st2, (rects, valid)
+
+    final, (rects, valid) = jax.lax.scan(
+        body, state, (jnp.asarray(grays, jnp.uint8),
+                      jnp.asarray(timestamps, jnp.float32)))
+    return final, rects, valid
+
+
 # ----------------------------------------------------------------- host layer
 def _calc_dist(r1, r2):
     c1 = (r1[0] + r1[2] / 2, r1[1] + r1[3] / 2)

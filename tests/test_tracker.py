@@ -75,3 +75,21 @@ def test_tracker_static_scene_no_blobs():
     tr = Tracker((320, 240))
     res = tr.process(clip)
     assert all(r == [] for r in res)
+
+
+def test_tracker_scan_matches_step_loop():
+    from nubomedia_vca_tpu.models.tracker import tracker_scan
+    clip = moving_blob_clip(8)
+    ts = np.arange(8) / 30.0
+    st = init_state(240, 320)
+    final, rects, valid = tracker_scan(
+        st, clip, ts, threshold=20, mhi_duration=0.2, seg_thresh=0.05,
+        max_blobs=32)
+    st2 = init_state(240, 320)
+    for i in range(8):
+        st2, r2, v2, _, _ = tracker_step(
+            st2, clip[i], ts[i], threshold=20, mhi_duration=0.2,
+            seg_thresh=0.05, max_blobs=32)
+        assert np.array_equal(np.asarray(rects[i]), np.asarray(r2))
+        assert np.array_equal(np.asarray(valid[i]), np.asarray(v2))
+    assert np.array_equal(np.asarray(final.mhi), np.asarray(st2.mhi))
