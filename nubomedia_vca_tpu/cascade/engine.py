@@ -351,10 +351,23 @@ class CascadeEngine:
         B = gray.shape[0]
         out_boxes, out_valid = [], []
         overflow = jnp.zeros((B,), bool)
-        d = self._dense
+        for li in range(len(self.levels)):
+            boxes, alive, ovf = self._eval_level(gray, li)
+            out_boxes.append(boxes)
+            out_valid.append(alive)
+            overflow = overflow | ovf
+        return (jnp.concatenate(out_boxes, axis=1),
+                jnp.concatenate(out_valid, axis=1),
+                overflow)
 
-        for l, caps, (map_x, map_y) in zip(self.levels, self._level_caps,
-                                           self._maps):
+    def _eval_level(self, gray, li: int):
+        """One pyramid level → (boxes [B,cap,4], alive [B,cap], ovf [B])."""
+        B = gray.shape[0]
+        d = self._dense
+        for l, caps, (map_x, map_y) in [(self.levels[li],
+                                         self._level_caps[li],
+                                         self._maps[li])]:
+            overflow = jnp.zeros((B,), bool)
             img = resize_linear_exact(gray, (l.sw, l.sh))
             ii = integral_image(img)
             iisq = sq_integral_image(img)
@@ -453,16 +466,37 @@ class CascadeEngine:
             boxes = jnp.stack(
                 [bx, by, jnp.full_like(bx, l.out_w), jnp.full_like(bx, l.out_h)],
                 axis=-1)
-            out_boxes.append(boxes)
-            out_valid.append(sel_alive)
-
-        return (jnp.concatenate(out_boxes, axis=1),
-                jnp.concatenate(out_valid, axis=1),
-                overflow)
+            return boxes, sel_alive, overflow
 
     # ------------------------------------------------------------------- API
+    def _detect_per_level(self, gray):
+        """Fallback execution mode: one jitted program per pyramid level.
+
+        The whole-pyramid program for fine scale factors (e.g. 1.1 → ~29
+        levels) can exceed what the TPU remote compiler handles; per-level
+        programs are small, compile reliably, and pipeline back-to-back."""
+        if not hasattr(self, "_level_jits"):
+            self._level_jits = {}
+        outs = []
+        for li in range(len(self.levels)):
+            fn = self._level_jits.get(li)
+            if fn is None:
+                fn = jax.jit(functools.partial(self._eval_level, li=li))
+                self._level_jits[li] = fn
+            outs.append(fn(gray))
+        boxes = jnp.concatenate([o[0] for o in outs], axis=1)
+        valid = jnp.concatenate([o[1] for o in outs], axis=1)
+        ovf = outs[0][2]
+        for o in outs[1:]:
+            ovf = ovf | o[2]
+        return boxes, valid, ovf
+
     def detect_raw(self, gray):
-        """gray [B,H,W] or [H,W] uint8 → (boxes, valid, overflow) on device."""
+        """gray [B,H,W] or [H,W] uint8 → (boxes, valid, overflow) on device.
+
+        Uses one whole-pyramid program; on backend compile failure (graph
+        too large for the remote TPU compiler) falls back permanently to
+        per-level programs."""
         gray = jnp.asarray(gray)
         if gray.ndim == 2:
             gray = gray[None]
@@ -471,7 +505,13 @@ class CascadeEngine:
                 f"frame shape {gray.shape[-2:]} does not match engine size "
                 f"({self.image_h}, {self.image_w}); build a CascadeEngine for "
                 "this resolution")
-        return self._detect_jit(gray)
+        if getattr(self, "_force_per_level", False):
+            return self._detect_per_level(gray)
+        try:
+            return self._detect_jit(gray)
+        except Exception:  # noqa: BLE001 — backend compile failure
+            self._force_per_level = True
+            return self._detect_per_level(gray)
 
     def detect(self, gray, min_neighbors: int = 3) -> list[np.ndarray]:
         """Full detectMultiScale parity: per-frame grouped [M,4] (x,y,w,h).
