@@ -135,6 +135,9 @@ class CascadeEngine:
 
         self._build_tables(block_plan)
         self._detect_jit = jax.jit(self._detect_impl)
+        # fine scale factors produce very deep pyramids whose whole-program
+        # graphs choke the TPU remote compiler — default those to per-level
+        self._force_per_level = len(self.levels) > 20
 
     # ------------------------------------------------------------------ prep
     def _build_tables(self, block_plan) -> None:

@@ -53,6 +53,7 @@ class EyeDetector(PartDetectorBase):
     PART_SCALE_FACTOR = 1.1         # EYE_SCALE_FACTOR
     PART_MIN_NEIGHBORS = 2
     PART_MIN_SIZE = (20, 20)
+    OUTPUT_KEYS = ("eye_right", "eye_left")
 
     def __init__(self, frame_size, config: EyeDetectorConfig | None = None):
         config = config or EyeDetectorConfig()

@@ -35,6 +35,7 @@ class MouthDetector(PartDetectorBase):
     PART_SCALE_FACTOR = 1.1         # MOUTH_SCALE_FACTOR
     PART_MIN_NEIGHBORS = 3
     PART_MIN_SIZE = (1, 1)
+    OUTPUT_KEYS = ("mouth",)
 
     def __init__(self, frame_size, config: MouthDetectorConfig | None = None):
         config = config or MouthDetectorConfig()

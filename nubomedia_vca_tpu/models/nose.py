@@ -40,6 +40,7 @@ class NoseDetector(PartDetectorBase):
     PART_SCALE_FACTOR = 1.1         # NOSE_SCALE_FACTOR
     PART_MIN_NEIGHBORS = 3
     PART_MIN_SIZE = (1, 1)
+    OUTPUT_KEYS = ("nose",)
 
     def __init__(self, frame_size, config: NoseDetectorConfig | None = None):
         config = config or NoseDetectorConfig()

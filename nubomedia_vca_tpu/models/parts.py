@@ -207,8 +207,10 @@ class PartDetectorBase:
             bi += 1
         return results
 
+    OUTPUT_KEYS: tuple[str, ...] = ()
+
     def _idle_result(self):
-        return {}
+        return {k: [] for k in self.OUTPUT_KEYS}
 
     def _process_frame(self, faces, part_raw, b):  # pragma: no cover - abstract
         raise NotImplementedError
