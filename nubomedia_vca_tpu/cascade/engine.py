@@ -542,3 +542,25 @@ class CascadeEngine:
 def load_cascade(path: str) -> HaarCascade:
     from .xml_loader import load_cascade_xml
     return load_cascade_xml(path)
+
+
+_ENGINE_CACHE: dict = {}
+
+
+def get_engine(cascade_path: str, image_size: tuple[int, int],
+               scale_factor: float = 1.25,
+               min_size: tuple[int, int] = (0, 0),
+               max_size: tuple[int, int] = (0, 0)) -> CascadeEngine:
+    """Process-wide engine cache. Engines are stateless after construction
+    and their jitted programs are expensive to rebuild (especially through
+    the TPU remote compiler) — models share them by configuration."""
+    import os as _os
+    key = (_os.path.abspath(cascade_path), tuple(image_size),
+           float(scale_factor), tuple(min_size), tuple(max_size))
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = CascadeEngine(load_cascade(cascade_path), image_size,
+                            scale_factor, min_size=min_size,
+                            max_size=max_size)
+        _ENGINE_CACHE[key] = eng
+    return eng

@@ -26,12 +26,8 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from ..cascade.engine import CascadeEngine
-from ..cascade.xml_loader import load_cascade_xml
 from ..ops.histogram import equalize_hist
 from ..ops.resize import resize_linear_exact
-from ..ops.grouping import group_rectangles_np
-from .base import multi_scale_to_pyramid_factor
 from .parts import PartDetectorBase, PartDetectorConfig, Roi, cv_round
 
 PROFILE_CASCADE = "/usr/share/opencv4/haarcascades/haarcascade_profileface.xml"

@@ -18,8 +18,7 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from ..cascade.engine import CascadeEngine
-from ..cascade.xml_loader import load_cascade_xml
+from ..cascade.engine import get_engine
 from ..ops.histogram import equalize_hist
 from ..ops.resize import resize_linear_exact
 from ..ops.grouping import group_rectangles_np
@@ -152,8 +151,8 @@ class FaceDetector:
         self.work_w = min(cfg.width_to_process, self.frame_w)
         self.work_h = int(round(self.frame_h * self.work_w / self.frame_w))
         self.scale_back = self.frame_w / self.work_w
-        self.engine = CascadeEngine(
-            load_cascade_xml(cfg.cascade_path),
+        self.engine = get_engine(
+            cfg.cascade_path,
             (self.work_w, self.work_h),
             multi_scale_to_pyramid_factor(cfg.multi_scale_factor),
         )

@@ -22,8 +22,7 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from ..cascade.engine import CascadeEngine
-from ..cascade.xml_loader import load_cascade_xml
+from ..cascade.engine import get_engine
 from ..ops.histogram import equalize_hist
 from ..ops.resize import resize_linear_exact
 from ..ops.grouping import group_rectangles_np
@@ -87,15 +86,15 @@ class PartDetectorBase:
         self.scale_f2p = self.part_w / self.face_w     # face-res → part-res
         self.scale_p2o = self.frame_w / self.part_w    # part-res → original
 
-        self.face_engine = CascadeEngine(
-            load_cascade_xml(config.face_cascade_path),
+        self.face_engine = get_engine(
+            config.face_cascade_path,
             (self.face_w, self.face_h),
             multi_scale_to_pyramid_factor(config.multi_scale_factor),
             min_size=self.FACE_MIN_SIZE,
         )
         self.part_engines = {
-            name: CascadeEngine(
-                load_cascade_xml(path), (self.part_w, self.part_h),
+            name: get_engine(
+                path, (self.part_w, self.part_h),
                 self.PART_SCALE_FACTOR, min_size=self.PART_MIN_SIZE,
             )
             for name, path in part_cascades.items()
