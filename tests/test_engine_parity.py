@@ -82,6 +82,16 @@ def test_parts_window_exact(xml, sf):
         assert canon(got) == canon(want), (xml, mn)
 
 
+def test_other_scale_factor_parity():
+    """multi-scale-factor knob changes pyramid geometry; still window-exact."""
+    eng = CascadeEngine(load_cascade_xml(FACE_XML), (320, 240), 1.2)
+    scene = face_scene(320, 240, faces=((160, 120, 80),), noise=5, seed=6)
+    for mn in (0, 3):
+        want = gold.detect_multi_scale(FACE_XML, scene, 1.2, mn)
+        got = eng.detect(scene, mn)[0]
+        assert canon(got) == canon(want), mn
+
+
 def test_min_max_size_pyramid_parity(face_engine):
     """min/max size knobs reproduce OpenCV's level selection."""
     eng = CascadeEngine(load_cascade_xml(FACE_XML), (640, 480), 1.25,
