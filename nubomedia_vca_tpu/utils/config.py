@@ -28,7 +28,7 @@ COMMON_KNOBS = [
     Knob("process-x-every-4-frames", "process_x_every_4_frames", 0, 4, 4),
     Knob("multi-scale-factor", "multi_scale_factor", 5, 51, 25),
     Knob("activate-events", "activate_events", 0, 1, 0),
-    Knob("events-ms", "events_ms", 0, 1 << 31 - 1, 30001),
+    Knob("events-ms", "events_ms", 0, (1 << 31) - 1, 30001),
 ]
 
 FACE_KNOBS = COMMON_KNOBS + [
@@ -44,7 +44,7 @@ TRACKER_KNOBS = [
     Knob("distance", "distance", 0, 2000, 35),
     Knob("visual-mode", "visual_mode", 0, 1, 0),
     Knob("activate-events", "activate_events", 0, 1, 0),
-    Knob("events-ms", "events_ms", 0, 1 << 31 - 1, 30001),
+    Knob("events-ms", "events_ms", 0, (1 << 31) - 1, 30001),
 ]
 
 
