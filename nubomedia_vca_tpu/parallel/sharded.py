@@ -43,24 +43,28 @@ def make_sharded_train_step(optimizer, mesh: Mesh, params, opt_state):
     """Returns (train_step_fn, sharded_params, sharded_opt_state) with
     dp (batch) × tp (head features) shardings applied."""
     p_shard = cnn_param_shardings(mesh, params)
-    o_shard = jax.tree.map(
-        lambda _: replicated(mesh), opt_state,
-        is_leaf=lambda x: isinstance(x, jnp.ndarray))
-    # optimizer state mirrors param shardings where shapes match
-    def opt_spec(leaf):
-        return replicated(mesh)
-    params = jax.device_put(params, p_shard)
-    opt_state = jax.device_put(opt_state, jax.tree.map(opt_spec, opt_state))
+    # Optimizer state (adam mu/nu are param-shaped trees) mirrors the param
+    # shardings so the tp-sharded head's moments stay sharded too; scalar
+    # state (step count) and anything param-unlike is replicated.
+    by_shape = {}
+    for pl, sl in zip(jax.tree.leaves(params), jax.tree.leaves(p_shard)):
+        by_shape.setdefault(tuple(pl.shape), sl)
 
-    data_in = NamedSharding(mesh, P("data"))
+    def opt_spec(leaf):
+        return by_shape.get(tuple(getattr(leaf, "shape", ())),
+                            replicated(mesh))
+
+    o_shard = jax.tree.map(opt_spec, opt_state)
+    params = jax.device_put(params, p_shard)
+    opt_state = jax.device_put(opt_state, o_shard)
 
     @functools.partial(
         jax.jit,
-        in_shardings=(p_shard, jax.tree.map(opt_spec, opt_state),
+        in_shardings=(p_shard, o_shard,
                       NamedSharding(mesh, P("data", None, None)),
                       NamedSharding(mesh, P("data", None, None)),
                       NamedSharding(mesh, P("data", None, None, None))),
-        out_shardings=(p_shard, jax.tree.map(opt_spec, opt_state),
+        out_shardings=(p_shard, o_shard,
                        replicated(mesh)),
         donate_argnums=(0, 1),
     )
