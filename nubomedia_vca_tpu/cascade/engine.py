@@ -48,7 +48,7 @@ from ..ops.integral import (
     tilted_integral_image,
 )
 from ..ops.resize import resize_linear_exact
-from ..ops.grouping import group_rectangles_np
+from ..ops.grouping import group_rectangles_jax, group_rectangles_np
 from .pyramid import LevelSpec, compute_levels
 from .xml_loader import HaarCascade
 
@@ -108,6 +108,7 @@ class CascadeEngine:
         dense_stages: int | None = None,
         block_plan: list[tuple[int, float]] | None = None,
         max_capacity: int = 32768,
+        use_pallas_integral: bool | None = None,
     ):
         """block_plan: list of (n_stages, capacity_frac) for matmul blocks;
         the last entry's n_stages may exceed what remains (clamped). The
@@ -132,6 +133,13 @@ class CascadeEngine:
         if block_plan is None:
             block_plan = [(5, 0.45), (cascade.n_stages, 0.08)]
         self._max_capacity = max_capacity
+
+        if use_pallas_integral is None:
+            # measured on the v5e chip (batch 64, 160x120 face engine, async
+            # steady state): fused Pallas integral+sq kernel vs XLA cumsum —
+            # see bench.py config "device_path"; default on for TPU.
+            use_pallas_integral = jax.default_backend() == "tpu"
+        self._use_pallas_integral = use_pallas_integral
 
         self._build_tables(block_plan)
         self._detect_jit = jax.jit(self._detect_impl)
@@ -372,8 +380,13 @@ class CascadeEngine:
                                          self._maps[li])]:
             overflow = jnp.zeros((B,), bool)
             img = resize_linear_exact(gray, (l.sw, l.sh))
-            ii = integral_image(img)
-            iisq = sq_integral_image(img)
+            if self._use_pallas_integral:
+                # fused kernel: one VMEM pass produces both tables
+                from ..ops.pallas.integral_pallas import integral_images_pallas
+                ii, iisq = integral_images_pallas(img)
+            else:
+                ii = integral_image(img)
+                iisq = sq_integral_image(img)
             iit = tilted_integral_image(img) if self._uses_tilt else None
             ny, nx, step = l.ny, l.nx, l.ystep
             nwin = ny * nx
@@ -516,20 +529,75 @@ class CascadeEngine:
             self._force_per_level = True
             return self._detect_per_level(gray)
 
+    # -------------------------------------------------- on-device grouping
+    RAW_GROUP_CAP = 256   # accepted windows entering grouping (pre-compact)
+    OUT_GROUP_CAP = 64    # grouped detections leaving the device
+
+    def _group_impl(self, boxes, valid, overflow, *, min_neighbors: int):
+        """Device minNeighbors grouping on the raw-candidate output: compact
+        accepted windows to RAW_GROUP_CAP, run the exact fixed-capacity
+        groupRectangles, compact grouped classes to OUT_GROUP_CAP. Only
+        [B, OUT_GROUP_CAP] arrays ever cross to the host — the reference's
+        per-frame output is grouped boxes (kmsfacedetect.cpp:809-811 → 832),
+        so the host result path stays O(detections), not O(windows)."""
+        cap = min(self.RAW_GROUP_CAP, valid.shape[1])
+        sel, sel_alive, count = self._compact(valid, cap)
+        overflow = overflow | (count > cap)
+        cand = jnp.take_along_axis(boxes, sel[:, :, None], axis=1)
+        avg, gvalid, weights = jax.vmap(
+            lambda r, v: group_rectangles_jax(r, v, min_neighbors)
+        )(cand, sel_alive)
+        k = min(self.OUT_GROUP_CAP, avg.shape[1])
+        sel2, g_alive, _ = self._compact(gvalid, k)
+        out = jnp.take_along_axis(avg, sel2[:, :, None], axis=1)
+        wts = jnp.take_along_axis(weights, sel2, axis=1)
+        return out, g_alive, wts, overflow
+
+    def _compact_raw_impl(self, boxes, valid, overflow):
+        cap = min(self.RAW_GROUP_CAP, valid.shape[1])
+        sel, sel_alive, count = self._compact(valid, cap)
+        overflow = overflow | (count > cap)
+        out = jnp.take_along_axis(boxes, sel[:, :, None], axis=1)
+        return out, sel_alive, overflow
+
+    def compact_raw(self, raw):
+        """(boxes, valid, overflow) → same, compacted to RAW_GROUP_CAP slots
+        (device-side), so ungrouped candidate transfers stay small."""
+        if not hasattr(self, "_compact_jit"):
+            self._compact_jit = jax.jit(self._compact_raw_impl)
+        return self._compact_jit(*raw)
+
+    def group_device(self, raw, min_neighbors: int):
+        """(boxes, valid, overflow) from detect_raw → grouped device arrays
+        (boxes [B,K,4], valid [B,K], weights [B,K], overflow [B])."""
+        if not hasattr(self, "_group_jits"):
+            self._group_jits = {}
+        fn = self._group_jits.get(min_neighbors)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                self._group_impl, min_neighbors=min_neighbors))
+            self._group_jits[min_neighbors] = fn
+        return fn(*raw)
+
+    def detect_grouped(self, gray, min_neighbors: int = 3):
+        """Whole device path: frames → grouped detections, no host compute.
+        Returns (boxes [B,K,4], valid [B,K], weights [B,K], overflow [B])."""
+        return self.group_device(self.detect_raw(gray), min_neighbors)
+
     def detect(self, gray, min_neighbors: int = 3) -> list[np.ndarray]:
         """Full detectMultiScale parity: per-frame grouped [M,4] (x,y,w,h).
 
         min_neighbors == 0 skips grouping entirely (OpenCV semantics).
+        Grouping runs on device (`_group_impl`); only the tiny grouped
+        output is transferred.
         """
-        boxes, valid, _ = self.detect_raw(gray)
-        boxes = np.asarray(boxes)
-        valid = np.asarray(valid)
         if min_neighbors == 0:
+            boxes, valid, _ = self.detect_raw(gray)
+            boxes, valid = np.asarray(boxes), np.asarray(valid)
             return [boxes[b][valid[b]] for b in range(boxes.shape[0])]
-        return [
-            group_rectangles_np(boxes[b][valid[b]], min_neighbors)
-            for b in range(boxes.shape[0])
-        ]
+        out, g_alive, _, _ = self.detect_grouped(gray, min_neighbors)
+        out, g_alive = np.asarray(out), np.asarray(g_alive)
+        return [out[b][g_alive[b]] for b in range(out.shape[0])]
 
     def candidates(self, gray) -> list[np.ndarray]:
         """Raw accepted windows per frame (pre-grouping), for parity tests."""

@@ -37,15 +37,18 @@ class DetectorConfig:
 
 
 class GopScheduler:
-    """The reference's frame-skip policy (`kmsfacedetect.cpp:799-803,829-830`):
-    process the first x frames of every group of 4."""
+    """The reference's frame-skip policy (`kmsfacedetect.cpp:797-801,827-828`):
+    within each group of 4 (num_frame 1..4), process frames 1..x — EXCEPT
+    x == 2, which the reference special-cases to ALTERNATING frames
+    (``2 == x && 1 == num_frame % 2`` → frames 1 and 3)."""
 
     def __init__(self, process_x_every_4: int = 4):
         self.x = int(process_x_every_4)
         self.counter = 0
 
     def should_process(self) -> bool:
-        ok = (self.counter % 4) < self.x
+        num_frame = (self.counter % 4) + 1
+        ok = (num_frame % 2 == 1) if self.x == 2 else (num_frame <= self.x)
         self.counter += 1
         return ok
 
@@ -53,27 +56,38 @@ class GopScheduler:
         """Vector form: processing mask for the next n frames."""
         if n <= 0:
             raise ValueError("empty frame batch")
-        idx = self.counter + np.arange(n)
+        num_frame = (self.counter + np.arange(n)) % 4 + 1
         self.counter += n
-        return (idx % 4) < self.x
+        if self.x == 2:
+            return num_frame % 2 == 1
+        return num_frame <= self.x
 
 
 class EventGate:
-    """detect-event gating (`kmsfacedetect.cpp:698-707`, `kmseyedetect.cpp
-    :726-764`): when enabled, the filter idles until an upstream event
-    arrives, then processes NUM_FRAMES_TO_PROCESS/(5 - x) frames."""
+    """detect-event gating (`kmsfacedetect.cpp:744-751`,
+    `kmseyedetect.cpp:726-764`): when enabled, the filter idles until an
+    upstream event arrives, then processes a frame budget —
+    NUM_FRAMES_TO_PROCESS for the face element (unscaled,
+    kmsfacedetect.cpp:751), NUM_FRAMES_TO_PROCESS/(5-x) for the part
+    elements (kmseyedetect.cpp:759-761). The budget is decremented ONLY on
+    GOP-processed frames (kmsfacedetect.cpp:800 / kmseyedetect.cpp:948);
+    use `gated_gop_mask` for the exact per-frame schedule."""
 
     NUM_FRAMES_TO_PROCESS = 10
 
-    def __init__(self, enabled: bool, process_x_every_4: int = 4):
+    def __init__(self, enabled: bool, process_x_every_4: int = 4,
+                 scaled: bool = True):
         self.enabled = bool(enabled)
         self.budget = 0
         self.x = int(process_x_every_4)
+        self.scaled = scaled
         self.pending_payload = None
 
     def feed_event(self, payload=None) -> None:
-        self.budget = self.NUM_FRAMES_TO_PROCESS // (5 - self.x)
-        self.pending_payload = payload
+        self.budget = (self.NUM_FRAMES_TO_PROCESS // (5 - self.x)
+                       if self.scaled else self.NUM_FRAMES_TO_PROCESS)
+        if payload is not None:
+            self.pending_payload = payload
 
     def should_process(self) -> bool:
         if not self.enabled:
@@ -82,3 +96,32 @@ class EventGate:
             self.budget -= 1
             return True
         return False
+
+
+def gated_gop_mask(gop: GopScheduler, gate: EventGate, n: int,
+                   events=None) -> np.ndarray:
+    """Exact per-frame processing schedule of the reference
+    (kmsfacedetect.cpp:793-800):
+
+    per frame: an arriving event refuels the gate budget; with the gate
+    enabled and no event and no budget the frame is IDLE (the GOP counter
+    does not even advance — the reference returns before num_frame++);
+    otherwise the GOP policy decides, and the gate budget is consumed only
+    for frames the GOP actually processes.
+
+    events: optional per-frame list; a non-None entry means an upstream
+    event arrived with that payload (face boxes for the part detectors,
+    anything truthy for the motion→face gate).
+    """
+    mask = np.zeros(n, bool)
+    for i in range(n):
+        ev = events[i] if events is not None else None
+        if ev is not None and gate.enabled:
+            gate.feed_event(ev)
+        if gate.enabled and ev is None and gate.budget <= 0:
+            continue  # idle frame: no GOP advance, no budget use
+        if gop.should_process():
+            mask[i] = True
+            if gate.enabled:
+                gate.budget -= 1
+    return mask

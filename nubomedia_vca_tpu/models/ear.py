@@ -14,9 +14,13 @@ passes run batched over [normal, flipped] in one program. Right-side
 detections are mirrored back to true image coordinates (the reference emits
 them in flipped coordinates — a quirk we do not reproduce).
 
-The reference's mcs left/right-ear cascades are old-format/not shipped with
-OpenCV; ear_cascade_path must be provided (tests use a stand-in cascade).
-With ear_cascade_path=None only profile faces are emitted.
+The reference's mcs left/right-ear cascades (kmseardetect.cpp:30-31) are
+old-format — parsed natively by our loader when dropped into a cascade
+search dir (cascade/paths.py); they are not shipped with OpenCV. Our flip
+design runs ONE ear cascade over [normal, flipped], so the right-ear model
+(which the reference's LEAR macro cross-wires into the left-ear slot to
+exploit the flip, kmseardetect.cpp:167-190) is the preferred default.
+When no ear cascade is found, only profile faces are emitted.
 """
 
 from __future__ import annotations
@@ -26,11 +30,13 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
+from ..cascade.paths import find_cascade
 from ..ops.histogram import equalize_hist
 from ..ops.resize import resize_linear_exact
 from .parts import PartDetectorBase, PartDetectorConfig, Roi, cv_round
 
 PROFILE_CASCADE = "/usr/share/opencv4/haarcascades/haarcascade_profileface.xml"
+EAR_CASCADES = ("haarcascade_mcs_rightear.xml", "haarcascade_mcs_leftear.xml")
 
 TOP_PERCENTAGE = 20    # kmseardetect.cpp:38
 DOWN_PERCENTAGE = 20   # kmseardetect.cpp:39
@@ -55,8 +61,9 @@ class EarDetector(PartDetectorBase):
     def __init__(self, frame_size, config: EarDetectorConfig | None = None):
         config = config or EarDetectorConfig()
         cascades = {}
-        if config.ear_cascade_path:
-            cascades["ear"] = config.ear_cascade_path
+        ear_path = config.ear_cascade_path or find_cascade(*EAR_CASCADES)
+        if ear_path:
+            cascades["ear"] = ear_path
         super().__init__(frame_size, config, cascades)
 
     def _device_pass(self, gray):
@@ -70,8 +77,9 @@ class EarDetector(PartDetectorBase):
             resize_linear_exact(both, (self.face_w, self.face_h)))
         part_img = equalize_hist(
             resize_linear_exact(both, (self.part_w, self.part_h)))
-        face_raw = self.face_engine.detect_raw(face_img)
-        part_raw = {name: eng.detect_raw(part_img)
+        face_raw = self.face_engine.group_device(
+            self.face_engine.detect_raw(face_img), self.FACE_MIN_NEIGHBORS)
+        part_raw = {name: eng.compact_raw(eng.detect_raw(part_img))
                     for name, eng in self.part_engines.items()}
         self._n_real = gray.shape[0]
         return face_raw, part_raw

@@ -25,8 +25,15 @@ import numpy as np
 
 from .parts import PartDetectorBase, PartDetectorConfig, Roi, cv_round
 
-RIGHT_EYE_CASCADE = "/usr/share/opencv4/haarcascades/haarcascade_righteye_2splits.xml"
-LEFT_EYE_CASCADE = "/usr/share/opencv4/haarcascades/haarcascade_lefteye_2splits.xml"
+from ..cascade.paths import find_cascade
+
+# Preference order: the reference's exact mcs model (old-format XML, parsed
+# natively — kmseyedetect.cpp:28-29) when present in a search dir, else the
+# OpenCV-4-shipped 2splits substitute.
+RIGHT_EYE_CASCADE = ("haarcascade_mcs_righteye.xml",
+                     "haarcascade_righteye_2splits.xml")
+LEFT_EYE_CASCADE = ("haarcascade_mcs_lefteye.xml",
+                    "haarcascade_lefteye_2splits.xml")
 
 TOP_PERCENTAGE = 25    # kmseyedetect.cpp:31
 DOWN_PERCENTAGE = 40   # kmseyedetect.cpp:32
@@ -35,8 +42,8 @@ DOWN_PERCENTAGE = 40   # kmseyedetect.cpp:32
 @dataclasses.dataclass
 class EyeDetectorConfig(PartDetectorConfig):
     euclidean_distance: int = 7
-    right_cascade_path: str = RIGHT_EYE_CASCADE
-    left_cascade_path: str = LEFT_EYE_CASCADE
+    right_cascade_path: str | None = None   # None → find_cascade probe
+    left_cascade_path: str | None = None
 
 
 def _center(r):
@@ -58,8 +65,10 @@ class EyeDetector(PartDetectorBase):
     def __init__(self, frame_size, config: EyeDetectorConfig | None = None):
         config = config or EyeDetectorConfig()
         super().__init__(frame_size, config, {
-            "right": config.right_cascade_path,
-            "left": config.left_cascade_path,
+            "right": config.right_cascade_path
+            or find_cascade(*RIGHT_EYE_CASCADE),
+            "left": config.left_cascade_path
+            or find_cascade(*LEFT_EYE_CASCADE),
         })
 
     def _merge_current(self, face_roi_scaled, roi, eyes, right_eyes, is_left):

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from ..cascade.engine import get_engine
 from ..ops.histogram import equalize_hist
 from ..ops.resize import resize_linear_exact
-from ..ops.grouping import group_rectangles_np
-from .base import DetectorConfig, GopScheduler, EventGate, multi_scale_to_pyramid_factor
+from .base import (DetectorConfig, GopScheduler, EventGate, gated_gop_mask,
+                   multi_scale_to_pyramid_factor)
 
 DEFAULT_FACE_CASCADE = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml"
 
@@ -157,7 +157,9 @@ class FaceDetector:
             multi_scale_to_pyramid_factor(cfg.multi_scale_factor),
         )
         self.gop = GopScheduler(cfg.process_x_every_4_frames)
-        self.gate = EventGate(cfg.detect_event, cfg.process_x_every_4_frames)
+        # face budget is unscaled (kmsfacedetect.cpp:751), unlike the parts
+        self.gate = EventGate(cfg.detect_event, cfg.process_x_every_4_frames,
+                              scaled=False)
         self.tracks = [FaceTracks() for _ in range(n_streams)]
 
     # device part: resize + equalize + cascade
@@ -170,28 +172,38 @@ class FaceDetector:
         return self.engine.detect_raw(work)
 
     def detect_boxes(self, gray) -> list[np.ndarray]:
-        """Grouped face boxes in original coordinates (no tracking)."""
-        boxes, valid, _ = self._device_detect(gray)
+        """Grouped face boxes in original coordinates (no tracking).
+
+        Grouping runs on device (engine.group_device); only the grouped
+        [B, K≤64] output crosses to host, keeping the result path
+        O(detections) per frame."""
+        raw = self._device_detect(gray)
+        if self.config.min_neighbors:
+            boxes, valid, _, _ = self.engine.group_device(
+                raw, self.config.min_neighbors)
+        else:
+            boxes, valid, _ = raw
         boxes, valid = np.asarray(boxes), np.asarray(valid)
         out = []
         for b in range(boxes.shape[0]):
-            cand = boxes[b][valid[b]]
-            grouped = group_rectangles_np(cand, self.config.min_neighbors) \
-                if self.config.min_neighbors else cand
+            grouped = boxes[b][valid[b]]
             out.append(np.rint(grouped * self.scale_back).astype(np.int32)
                        if len(grouped) else np.zeros((0, 4), np.int32))
         return out
 
-    def process(self, gray, stream: int = 0) -> list[list[TrackedFace]]:
+    def process(self, gray, stream: int = 0,
+                events=None) -> list[list[TrackedFace]]:
         """Full per-frame pipeline with GOP skip, event gate and tracking.
-        Frames in the batch are consecutive frames of one stream."""
+        Frames in the batch are consecutive frames of one stream.
+
+        events: optional per-frame list; a non-None entry marks an arriving
+        upstream motion event (the tracker→face chain of
+        kmsfacedetect.cpp:698-707) that refuels the detect-event gate."""
         gray = np.asarray(gray)
         if gray.ndim == 2:
             gray = gray[None]
         n = gray.shape[0]
-        mask = self.gop.mask(n)
-        gate_mask = np.array([self.gate.should_process() for _ in range(n)])
-        mask = mask & gate_mask
+        mask = gated_gop_mask(self.gop, self.gate, n, events)
         results: list[list[TrackedFace]] = []
         if mask.any():
             det = self.detect_boxes(gray[mask])

@@ -20,13 +20,19 @@ import numpy as np
 
 from .parts import PartDetectorBase, PartDetectorConfig, Roi, cv_round
 
-DEFAULT_MOUTH_CASCADE = "/usr/share/opencv4/haarcascades/haarcascade_smile.xml"
+from ..cascade.paths import find_cascade
+
+# Preference: the reference's haarcascade_mcs_mouth.xml (old format, parsed
+# natively — kmsmouthdetect.cpp:38) when present, else the OpenCV-4-shipped
+# smile cascade (trained on the same mouth region).
+DEFAULT_MOUTH_CASCADE = ("haarcascade_mcs_mouth.xml",
+                         "haarcascade_smile.xml")
 
 
 @dataclasses.dataclass
 class MouthDetectorConfig(PartDetectorConfig):
     euclidean_distance: int = 4
-    mouth_cascade_path: str = DEFAULT_MOUTH_CASCADE
+    mouth_cascade_path: str | None = None   # None → find_cascade probe
 
 
 class MouthDetector(PartDetectorBase):
@@ -40,7 +46,8 @@ class MouthDetector(PartDetectorBase):
     def __init__(self, frame_size, config: MouthDetectorConfig | None = None):
         config = config or MouthDetectorConfig()
         super().__init__(frame_size, config,
-                         {"mouth": config.mouth_cascade_path})
+                         {"mouth": config.mouth_cascade_path
+                          or find_cascade(*DEFAULT_MOUTH_CASCADE)})
 
     def _process_frame(self, faces, part_raw, b):
         cand = self._part_candidates(part_raw, "mouth", b)

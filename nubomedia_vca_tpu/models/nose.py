@@ -6,26 +6,25 @@ factor 1.1, minNeighbors 3, biggest-object semantics
 (kmsnosedetect.cpp:870-873); temporal anti-vibration 6 px (EUCLIDEAN_DIS,
 kmsnosedetect.cpp:43).
 
-The reference's haarcascade_mcs_nose.xml is an old-format cascade that
-modern OpenCV cannot load and that is not redistributable with OpenCV; no
-nose cascade ships with OpenCV 4/5, so the cascade path MUST be provided
-explicitly (any new-format Haar cascade works).
+The reference's haarcascade_mcs_nose.xml (old-format, kmsnosedetect.cpp:32)
+is parsed natively by our loader when present in any cascade search dir
+(see cascade/paths.py); it is not redistributable with OpenCV and no nose
+cascade ships with OpenCV 4/5, so when it is absent the cascade path MUST
+be provided explicitly (either XML format works).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import os
 
 import numpy as np
 
+from ..cascade.paths import find_cascade
 from .parts import PartDetectorBase, PartDetectorConfig, Roi, cv_round
 
 TOP_PERCENTAGE = 25    # kmsnosedetect.cpp:34
 DOWN_PERCENTAGE = 10   # kmsnosedetect.cpp:35
 SIDE_PERCENTAGE = 25   # kmsnosedetect.cpp:36
-
-_MCS_NOSE = "/usr/share/opencv4/haarcascades/haarcascade_mcs_nose.xml"
 
 
 @dataclasses.dataclass
@@ -44,15 +43,15 @@ class NoseDetector(PartDetectorBase):
 
     def __init__(self, frame_size, config: NoseDetectorConfig | None = None):
         config = config or NoseDetectorConfig()
-        path = config.nose_cascade_path
-        if path is None and os.path.exists(_MCS_NOSE):
-            path = _MCS_NOSE
+        path = (config.nose_cascade_path
+                or find_cascade("haarcascade_mcs_nose.xml"))
         if path is None:
             raise ValueError(
                 "NoseDetector needs nose_cascade_path: OpenCV 4/5 ships no "
-                "nose cascade and the reference's haarcascade_mcs_nose.xml "
-                "is old-format/not redistributable. Point it at any "
-                "new-format Haar cascade XML.")
+                "nose cascade. Drop the reference's haarcascade_mcs_nose.xml"
+                " (old format is parsed natively) into assets/haarcascades/ "
+                "or a $VCA_CASCADE_PATH dir, or point this at any Haar "
+                "cascade XML.")
         super().__init__(frame_size, config, {"nose": path})
 
     def _process_frame(self, faces, part_raw, b):

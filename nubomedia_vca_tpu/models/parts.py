@@ -26,7 +26,8 @@ from ..cascade.engine import get_engine
 from ..ops.histogram import equalize_hist
 from ..ops.resize import resize_linear_exact
 from ..ops.grouping import group_rectangles_np
-from .base import DetectorConfig, GopScheduler, EventGate, multi_scale_to_pyramid_factor
+from .base import (DetectorConfig, GopScheduler, EventGate, gated_gop_mask,
+                   multi_scale_to_pyramid_factor)
 from .face import DEFAULT_FACE_CASCADE
 
 
@@ -44,6 +45,10 @@ class PartDetectorConfig(DetectorConfig):
     face_cascade_path: str = DEFAULT_FACE_CASCADE
     face_width: int = 160
     euclidean_distance: int = 7
+    # keep previous part boxes across up to this many consecutive empty
+    # frames before purging (MAX_NUM_FPS_WITH_NO_DETECTION: 1 for
+    # eye/mouth/nose, 4 for ear — kmseyedetect.cpp:41, kmseardetect.cpp:48)
+    max_fps_without_detection: int = 1
 
 
 class Roi:
@@ -103,11 +108,16 @@ class PartDetectorBase:
         self.gate = EventGate(config.detect_event,
                               config.process_x_every_4_frames)
         self._prev: dict[str, list] = {}   # temporal merge state per output key
-        self.frames_with_no_detection = 0
+        self._empty_count: dict[str, int] = {}  # consecutive-empty per key
 
     # ------------------------------------------------------------ device part
     def _device_pass(self, gray):
-        """One jitted pass: both resolutions resized+equalized+detected."""
+        """One jitted pass: both resolutions resized+equalized+detected.
+
+        Face candidates are minNeighbors-grouped ON DEVICE; part candidates
+        are device-compacted to the engine's RAW_GROUP_CAP — so only
+        O(detections) arrays cross to the host, never the padded window
+        capacity."""
         gray = jnp.asarray(gray)
         if gray.ndim == 2:
             gray = gray[None]
@@ -115,15 +125,15 @@ class PartDetectorBase:
             resize_linear_exact(gray, (self.face_w, self.face_h)))
         part_img = equalize_hist(
             resize_linear_exact(gray, (self.part_w, self.part_h)))
-        face_raw = self.face_engine.detect_raw(face_img)
-        part_raw = {name: eng.detect_raw(part_img)
+        face_raw = self.face_engine.group_device(
+            self.face_engine.detect_raw(face_img), self.FACE_MIN_NEIGHBORS)
+        part_raw = {name: eng.compact_raw(eng.detect_raw(part_img))
                     for name, eng in self.part_engines.items()}
         return face_raw, part_raw
 
     def _faces_from_raw(self, face_raw, b: int) -> np.ndarray:
-        boxes, valid, _ = face_raw
-        cand = np.asarray(boxes[b])[np.asarray(valid[b])]
-        return group_rectangles_np(cand, self.FACE_MIN_NEIGHBORS)
+        boxes, valid, _, _ = face_raw
+        return np.asarray(boxes[b])[np.asarray(valid[b])]
 
     def _part_candidates(self, part_raw, name: str, b: int) -> np.ndarray:
         boxes, valid, _ = part_raw[name]
@@ -144,8 +154,23 @@ class PartDetectorBase:
 
     def _merge_consecutive(self, key: str, new: list, euclidean: int) -> list:
         """Anti-vibration merge (kmseyedetect.cpp:864-900 and siblings):
-        keep the previous box when its center moved less than `euclidean`."""
+        keep the previous box when its center moved less than `euclidean`.
+
+        Empty-frame persistence (kmseyedetect.cpp:1034-1064, per-key
+        counters like the reference's _er/_el pair): with no new
+        detections, the previously stored boxes are re-emitted unchanged
+        for up to max_fps_without_detection consecutive frames, then
+        purged."""
         prev = self._prev.get(key, [])
+        if not new:
+            cnt = self._empty_count.get(key, 0)
+            if cnt < self.config.max_fps_without_detection:
+                self._empty_count[key] = cnt + 1
+                return list(prev)      # keep previous boxes, state untouched
+            self._empty_count[key] = 0
+            self._prev[key] = []
+            return []
+        self._empty_count[key] = 0
         res = []
         remaining = list(new)
         for p in prev:
@@ -183,10 +208,8 @@ class PartDetectorBase:
         if gray.ndim == 2:
             gray = gray[None]
         n = gray.shape[0]
-        mask = self.gop.mask(n)
-        if face_boxes is None:
-            gate_mask = np.array([self.gate.should_process() for _ in range(n)])
-            mask = mask & gate_mask
+        events = face_boxes if self.gate.enabled else None
+        mask = gated_gop_mask(self.gop, self.gate, n, events)
         results = []
         if not mask.any():
             return [self._idle_result() for _ in range(n)]
@@ -196,9 +219,18 @@ class PartDetectorBase:
             if not mask[i]:
                 results.append(self._idle_result())
                 continue
-            if face_boxes is not None and face_boxes[i] is not None:
+            supplied = None
+            if self.gate.enabled:
+                # with detect-event the faces come from the LAST received
+                # event and persist for the whole budget window
+                # (kmseyedetect.cpp:954-961: own cascade only when
+                # detect_event==0; priv->faces persists between events)
+                supplied = self.gate.pending_payload
+            elif face_boxes is not None and face_boxes[i] is not None:
+                supplied = face_boxes[i]
+            if supplied is not None:
                 # event-supplied faces are in original coords → face-res
-                faces = np.rint(np.asarray(face_boxes[i]).reshape(-1, 4)
+                faces = np.rint(np.asarray(supplied).reshape(-1, 4)
                                 * (self.face_w / self.frame_w)).astype(np.int32)
             else:
                 faces = self._faces_from_raw(face_raw, bi)

@@ -132,20 +132,21 @@ def group_rectangles_jax(
         & valid[:, None] & valid[None, :]
     )
 
-    # transitive closure by iterated min-label propagation:
-    # label_i <- min over similar j of label_j; converges in <= ceil(log2 n)
-    # rounds for chain components; run a safe fixed count.
-    labels0 = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    # exact transitive closure by repeated boolean matrix squaring:
+    # after k squarings sim covers all paths of length <= 2^k, so
+    # ceil(log2 n) squarings guarantee convergence for ANY component shape
+    # (the bit-parity requirement vs the host union-find). The 0/1 matmul
+    # only feeds a >0 test, so default (bf16) MXU precision is safe.
+    n_rounds = max(1, int(np.ceil(np.log2(max(n, 2)))))
 
-    def body(_, labels):
-        lab_mat = jnp.where(sim, labels[None, :], jnp.int32(n))
-        return jnp.minimum(labels, jnp.min(lab_mat, axis=1))
+    def body(_, s):
+        return jnp.minimum(s + s @ s, 1.0)
 
-    n_rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
-    labels = jax.lax.fori_loop(0, n_rounds, body, labels0)
-    # one more propagation through the label graph (label of my label)
-    for _ in range(2):
-        labels = jnp.minimum(labels, labels[jnp.clip(labels, 0, n - 1)])
+    simf = jax.lax.fori_loop(0, n_rounds, body, sim.astype(jnp.float32))
+    closed = simf > 0.0
+    # class label = smallest connected member index (first True per row)
+    labels = jnp.where(valid, jnp.argmax(closed, axis=1).astype(jnp.int32),
+                       jnp.int32(n))
 
     onehot = (labels[:, None] == jnp.arange(n)[None, :]) & valid[:, None]  # [i, class]
     counts = jnp.sum(onehot, axis=0).astype(jnp.int32)          # [class]

@@ -30,16 +30,30 @@ class FilterNode:
         self.consumes = set(consumes)
         self.emits = tuple(emits)
 
+    def _incoming_boxes(self, n, incoming):
+        """Per-frame upstream boxes of the consumed types (None = no
+        event arrived for that frame)."""
+        out = []
+        for i in range(n):
+            ev = incoming[i] if incoming else None
+            bx = ev.boxes(self.consumes) if ev is not None else None
+            out.append(np.array(bx) if bx else None)
+        return out
+
     def process(self, frames, pts, incoming: list[DetectionEvent]):
         n = frames.shape[0]
         if self.kind == "face":
-            per_frame = self.model.process(frames)
-            events = []
+            # motion-gated face detection (kmsfacedetect.cpp:698-707):
+            # upstream (tracker) events refuel the face detect-event gate
+            events = (self._incoming_boxes(n, incoming)
+                      if self.consumes else None)
+            per_frame = self.model.process(frames, events=events)
+            out = []
             for i, faces in enumerate(per_frame):
                 dets = tuple(Detection("face", f.x, f.y, f.w, f.h, f.id)
                              for f in faces)
-                events.append(DetectionEvent(self.name, int(pts[i]), dets))
-            return events
+                out.append(DetectionEvent(self.name, int(pts[i]), dets))
+            return out
         if self.kind == "tracker":
             per_frame = self.model.process(frames)
             return [
@@ -48,19 +62,10 @@ class FilterNode:
                     for (x, y, w, h) in blobs))
                 for i, blobs in enumerate(per_frame)
             ]
-        # part detectors: feed face boxes from upstream events when gated
-        face_boxes = None
-        if self.consumes:
-            face_boxes = []
-            for i in range(n):
-                ev = incoming[i] if incoming else None
-                if ev is not None:
-                    bx = ev.boxes(self.consumes)
-                    if bx and self.model.gate.enabled:
-                        self.model.gate.feed_event()
-                    face_boxes.append(np.array(bx) if bx else None)
-                else:
-                    face_boxes.append(None)
+        # part detectors: face boxes flow in per frame; the model's own
+        # EventGate handles budget/persistence (models/base.gated_gop_mask)
+        face_boxes = (self._incoming_boxes(n, incoming)
+                      if self.consumes else None)
         per_frame = self.model.process(frames, face_boxes=face_boxes)
         events = []
         for i, res in enumerate(per_frame):

@@ -223,10 +223,16 @@ def test_eye_event_fed_faces():
 
 # ------------------------------------------------------------------ scheduling
 def test_gop_scheduler():
+    # x=2 is the reference's alternating special case
+    # (kmsfacedetect.cpp:797-798: `2 == x && 1 == num_frame % 2`)
     g = GopScheduler(2)
-    assert list(g.mask(8)) == [True, True, False, False] * 2
+    assert list(g.mask(8)) == [True, False, True, False] * 2
     g4 = GopScheduler(4)
     assert g4.mask(6).all()
+    g1 = GopScheduler(1)
+    assert list(g1.mask(8)) == [True, False, False, False] * 2
+    g3 = GopScheduler(3)
+    assert list(g3.mask(8)) == [True, True, True, False] * 2
 
 
 def test_event_gate_budget():
@@ -240,3 +246,88 @@ def test_event_gate_budget():
 def test_gate_disabled_always_processes():
     gate = EventGate(enabled=False)
     assert all(gate.should_process() for _ in range(5))
+
+
+def test_gated_gop_budget_only_on_processed_frames():
+    """Gate budget is consumed ONLY on GOP-processed frames
+    (kmseyedetect.cpp:948 decrements inside the processed branch)."""
+    from nubomedia_vca_tpu.models.base import gated_gop_mask
+
+    gop = GopScheduler(2)                      # alternating frames
+    gate = EventGate(enabled=True, process_x_every_4=2)   # budget 10//3 = 3
+    events = [object()] + [None] * 9
+    mask = gated_gop_mask(gop, gate, 10, events)
+    # 3 budget units at every other frame: frames 0, 2, 4 processed
+    assert list(mask) == [True, False, True, False, True] + [False] * 5
+
+
+def test_gated_idle_frames_do_not_advance_gop():
+    """Idle (no-budget) frames return before num_frame++ in the reference
+    (kmsfacedetect.cpp:793-796), so the GOP phase freezes while idle."""
+    from nubomedia_vca_tpu.models.base import gated_gop_mask
+
+    gop = GopScheduler(1)                      # first frame of each GOP
+    gate = EventGate(enabled=True, process_x_every_4=1)   # budget 10//4 = 2
+    # 5 idle frames, then an event
+    mask = gated_gop_mask(gop, gate, 5, [None] * 5)
+    assert not mask.any() and gop.counter == 0
+    mask = gated_gop_mask(gop, gate, 8, [object()] + [None] * 7)
+    # budget 2 consumed on GOP frames 1 and 5 (x=1)
+    assert list(mask) == [True, False, False, False, True, False, False,
+                          False]
+
+
+def test_face_unscaled_budget():
+    """Face refuels NUM_FRAMES_TO_PROCESS unscaled (kmsfacedetect.cpp:751),
+    parts scale by 5-x (kmseyedetect.cpp:759-761)."""
+    face_gate = EventGate(enabled=True, process_x_every_4=2, scaled=False)
+    face_gate.feed_event()
+    assert face_gate.budget == 10
+    part_gate = EventGate(enabled=True, process_x_every_4=2)
+    part_gate.feed_event()
+    assert part_gate.budget == 3
+
+
+def test_part_empty_frame_persistence():
+    """kmseyedetect.cpp:1034-1064: previous boxes are re-emitted for up to
+    max_fps_without_detection consecutive empty frames, then purged."""
+    det = MouthDetector((640, 480), MouthDetectorConfig(
+        mouth_cascade_path=FACE_XML))
+    box = (100, 100, 40, 20)
+    assert det._merge_consecutive("mouth", [box], 4) == [box]
+    # 1st empty frame: previous box persists (counter 1 == max)
+    assert det._merge_consecutive("mouth", [], 4) == [box]
+    # 2nd consecutive empty frame: purge
+    assert det._merge_consecutive("mouth", [], 4) == []
+    # counter resets on detection
+    assert det._merge_consecutive("mouth", [box], 4) == [box]
+    assert det._merge_consecutive("mouth", [], 4) == [box]
+    assert det._merge_consecutive("mouth", [box], 4) == [box]
+
+
+def test_ear_persistence_four_frames():
+    """Ear keeps boxes across 4 empty frames (kmseardetect.cpp:48)."""
+    from nubomedia_vca_tpu.models.ear import EarDetector, EarDetectorConfig
+
+    det = EarDetector((640, 480), EarDetectorConfig(
+        ear_cascade_path=FACE_XML))
+    box = (50, 60, 30, 30)
+    assert det._merge_consecutive("ear", [box], 7) == [box]
+    for _ in range(4):
+        assert det._merge_consecutive("ear", [], 7) == [box]
+    assert det._merge_consecutive("ear", [], 7) == []
+
+
+def test_face_motion_event_gating():
+    """detect-event=1 face idles until a motion event arrives
+    (kmsfacedetect.cpp:698-707), then processes the 10-frame budget."""
+    from nubomedia_vca_tpu.models.face import FaceDetector, FaceDetectorConfig
+
+    det = FaceDetector((640, 480), FaceDetectorConfig(detect_event=1))
+    clip = face_clip(4)
+    # no events: fully idle, nothing detected
+    out = det.process(clip)
+    assert all(len(f) == 0 for f in out)
+    # motion event on frame 0: detection runs
+    out = det.process(clip, events=[object(), None, None, None])
+    assert any(len(f) > 0 for f in out)

@@ -21,7 +21,7 @@ from nubomedia_vca_tpu.pipeline.events import (
     EventRateLimiter,
 )
 from nubomedia_vca_tpu.pipeline.graph import FilterNode, VcaPipeline
-from nubomedia_vca_tpu.models.face import FaceDetector
+from nubomedia_vca_tpu.models.face import FaceDetector, FaceDetectorConfig
 from nubomedia_vca_tpu.models.eye import EyeDetector, EyeDetectorConfig
 from nubomedia_vca_tpu.models.tracker import Tracker
 from nubomedia_vca_tpu.api.objects import (
@@ -225,3 +225,40 @@ def test_rpc_server_end_to_end():
         assert "error" in r
     finally:
         srv.stop()
+
+
+def test_tracker_to_face_to_eye_chain():
+    """Motion-gated face detection (kmsfacedetect.cpp:698-707): the face
+    node with detect-event=1 idles until the tracker emits motion, then
+    spends its 10-frame budget; its boxes feed the gated eye node."""
+    from nubomedia_vca_tpu.models.tracker import Tracker
+
+    clip = face_clip(4, w=640, h=480)
+    tracker = FilterNode("tracker", Tracker((640, 480)), "tracker",
+                         emits=("tracker",))
+    face_model = FaceDetector((640, 480), FaceDetectorConfig(detect_event=1))
+    face = FilterNode("face", face_model, "face", consumes={"tracker"},
+                      emits=("face",))
+    eye_model = EyeDetector((640, 480), EyeDetectorConfig(
+        right_cascade_path=FACE_XML, left_cascade_path=FACE_XML,
+        detect_event=1))
+    eye = FilterNode("eye", eye_model, "eye", consumes={"face"},
+                     emits=("eye_left", "eye_right"))
+
+    # without motion the gated face node stays idle
+    static = np.repeat(clip[:1], 4, axis=0)
+    pipe = VcaPipeline().add(face)
+    out = pipe.process(static)
+    assert all(len(ev.detections) == 0 for ev in out["face"])
+
+    # full chain on a moving clip: tracker → motion events → face → eye
+    face_model2 = FaceDetector((640, 480), FaceDetectorConfig(detect_event=1))
+    face2 = FilterNode("face", face_model2, "face", consumes={"tracker"},
+                       emits=("face",))
+    pipe = VcaPipeline().add(tracker).add(face2).add(eye)
+    out = pipe.process(clip)
+    n_motion = sum(len(ev.detections) > 0 for ev in out["tracker"])
+    assert n_motion >= 1, "fixture must produce motion"
+    n_faces = sum(len(ev.detections) > 0 for ev in out["face"])
+    assert n_faces >= 1, "motion events must un-gate the face detector"
+    assert face_model2.gate.enabled and len(out["eye"]) == 4
