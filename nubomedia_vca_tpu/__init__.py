@@ -21,4 +21,34 @@ Layout (mirrors SURVEY.md §7 build plan):
   cpp/       native host components (frame ingest, XML parse) with py fallback
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _setup_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache (opt-out via
+    VCA_NO_COMPILE_CACHE=1, relocate via VCA_JAX_CACHE_DIR).
+
+    The cascade engines build deep multiscale pyramid programs whose
+    first-time XLA compiles cost seconds (CPU) to minutes (TPU remote
+    compiler); caching the executables on disk makes every later process
+    start detection immediately. No-op when the application already
+    configured a cache dir."""
+    import os
+
+    if os.environ.get("VCA_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache = os.environ.get("VCA_JAX_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "nubomedia_vca_tpu",
+            "jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
+
+
+_setup_compilation_cache()

@@ -3,8 +3,9 @@
 setOverlayedImage with file/HTTP URI loaded through libsoup,
 kmsfacedetect.cpp:347-502).
 
-URIs: plain paths and file:// load via cv2; http(s):// is accepted but
-requires network egress (loader hook injectable for deployments)."""
+URIs: plain paths and file:// load via cv2; http(s):// fetches via stdlib
+urllib by default (the reference uses libsoup, kmsfacedetect.cpp:375-425) —
+a `fetch(url)->bytes` hook can replace it (tests, authenticated CDNs)."""
 
 from __future__ import annotations
 
@@ -18,8 +19,18 @@ from ..core.boxes import pad_boxes
 from ..ops.drawing import draw_rectangles, draw_circles, blend_overlay_image
 
 
+def _default_fetch(url: str, timeout: float = 10.0) -> bytes:
+    """stdlib HTTP fetch (the libsoup-equivalent default,
+    kmsfacedetect.cpp:375-425 downloads the costume into a tmpdir)."""
+    from urllib.request import urlopen
+
+    with urlopen(url, timeout=timeout) as r:
+        return r.read()
+
+
 def load_overlay_image(uri: str, fetch=None) -> np.ndarray:
-    """uri → RGBA uint8 [h,w,4]. `fetch(url)->bytes` handles http(s)."""
+    """uri → RGBA uint8 [h,w,4]. `fetch(url)->bytes` overrides the stdlib
+    HTTP loader for http(s) URIs."""
     import cv2
     parsed = urlparse(uri)
     if parsed.scheme in ("", "file"):
@@ -28,11 +39,10 @@ def load_overlay_image(uri: str, fetch=None) -> np.ndarray:
         if img is None:
             raise FileNotFoundError(uri)
     elif parsed.scheme in ("http", "https"):
-        if fetch is None:
-            raise RuntimeError(
-                "http(s) overlay URIs need a fetch hook (no default egress)")
-        buf = np.frombuffer(fetch(uri), np.uint8)
+        buf = np.frombuffer((fetch or _default_fetch)(uri), np.uint8)
         img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise ValueError(f"undecodable overlay image from {uri}")
     else:
         raise ValueError(f"unsupported URI scheme {parsed.scheme!r}")
     if img.ndim == 2:                      # gray → BGRA

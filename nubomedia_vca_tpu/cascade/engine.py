@@ -507,6 +507,33 @@ class CascadeEngine:
             ovf = ovf | o[2]
         return boxes, valid, ovf
 
+    def warmup(self, batch_size: int = 1, threads: int = 8) -> None:
+        """Pre-compile the detection programs for `batch_size` frames.
+
+        Deep pyramids (sf=1.1 → ~29 per-level programs) compile through the
+        TPU remote compiler serially on first use (minutes); issuing the
+        level compiles from a thread pool pipelines them (the GIL is
+        released during XLA/remote compilation). Combined with the
+        persistent compilation cache (package __init__), later processes
+        skip compilation entirely."""
+        gray = jnp.zeros((batch_size, self.image_h, self.image_w), jnp.uint8)
+        if not self._force_per_level:
+            jax.block_until_ready(self._detect_jit(gray))
+            return
+        if not hasattr(self, "_level_jits"):
+            self._level_jits = {}
+        import concurrent.futures as cf
+
+        def build(li):
+            fn = self._level_jits.get(li) or jax.jit(
+                functools.partial(self._eval_level, li=li))
+            jax.block_until_ready(fn(gray))
+            return li, fn
+
+        with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+            for li, fn in ex.map(build, range(len(self.levels))):
+                self._level_jits[li] = fn
+
     def detect_raw(self, gray):
         """gray [B,H,W] or [H,W] uint8 → (boxes, valid, overflow) on device.
 

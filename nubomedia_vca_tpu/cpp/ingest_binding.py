@@ -43,6 +43,10 @@ def _load():
     lib.vca_ingest_pending.argtypes = [ctypes.c_void_p]
     lib.vca_ingest_dropped.restype = ctypes.c_int64
     lib.vca_ingest_dropped.argtypes = [ctypes.c_void_p]
+    lib.vca_ingest_listen.restype = ctypes.c_int
+    lib.vca_ingest_listen.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int]
+    lib.vca_ingest_stop_listen.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -83,6 +87,19 @@ class NativeIngest:
     @property
     def dropped(self) -> int:
         return _LIB.vca_ingest_dropped(self._h)
+
+    def listen(self, port: int = 0, channels: int = 1) -> int:
+        """Open a loopback TCP port accepting raw-video byte streams (one
+        connection per stream; W*H*channels bytes per frame) — the live
+        bridge for gst-launch tcpclientsink / ffmpeg rawvideo tcp://.
+        Returns the bound port."""
+        p = _LIB.vca_ingest_listen(self._h, port, channels)
+        if p < 0:
+            raise OSError("vca_ingest_listen failed (already listening?)")
+        return p
+
+    def stop_listen(self) -> None:
+        _LIB.vca_ingest_stop_listen(self._h)
 
     def close(self):
         if self._h:
@@ -135,8 +152,55 @@ class PythonIngest:
     def pending(self) -> int:
         return len(self._q)
 
+    def listen(self, port: int = 0, channels: int = 1) -> int:
+        """Python fallback of NativeIngest.listen (same wire format)."""
+        import socket
+
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen(16)
+        self._listen_sock = srv
+        self._listen_stop = threading.Event()
+        frame_bytes = self.w * self.h * channels
+
+        def reader(conn, stream):
+            pts = 0
+            with conn:
+                while not self._listen_stop.is_set():
+                    buf = b""
+                    while len(buf) < frame_bytes:
+                        chunk = conn.recv(frame_bytes - len(buf))
+                        if not chunk:
+                            return
+                        buf += chunk
+                    frame = np.frombuffer(buf, np.uint8)
+                    frame = (frame.reshape(self.h, self.w) if channels == 1
+                             else frame.reshape(self.h, self.w, channels))
+                    self.push(stream, frame, pts)
+                    pts += 1
+
+        def acceptor():
+            stream = 0
+            while not self._listen_stop.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except OSError:
+                    return
+                threading.Thread(target=reader, args=(conn, stream),
+                                 daemon=True).start()
+                stream += 1
+
+        threading.Thread(target=acceptor, daemon=True).start()
+        return srv.getsockname()[1]
+
+    def stop_listen(self) -> None:
+        if getattr(self, "_listen_stop", None) is not None:
+            self._listen_stop.set()
+            self._listen_sock.close()
+
     def close(self):
-        pass
+        self.stop_listen()
 
 
 def make_ingest(width: int, height: int, capacity: int = 256):

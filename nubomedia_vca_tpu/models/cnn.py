@@ -97,10 +97,14 @@ def boxes_to_targets(boxes, valid, img_h, img_w):
     return obj, reg
 
 
+POS_WEIGHT = 64.0  # positives are ~1:300 cells; unweighted BCE suppresses them
+
+
 def loss_fn(params, gray, obj_t, reg_t):
     pred = forward(params, gray)
     obj_logit = pred[..., 0]
-    obj_loss = optax.sigmoid_binary_cross_entropy(obj_logit, obj_t).mean()
+    bce = optax.sigmoid_binary_cross_entropy(obj_logit, obj_t)
+    obj_loss = (bce * jnp.where(obj_t > 0, POS_WEIGHT, 1.0)).mean()
     reg_loss = (jnp.abs(pred[..., 1:] - reg_t)
                 * obj_t[..., None]).sum() / jnp.maximum(obj_t.sum(), 1.0)
     return obj_loss + reg_loss, (obj_loss, reg_loss)
@@ -132,3 +136,130 @@ def decode(pred, threshold=0.5, top_k=32):
     h = jnp.exp(sel[..., 4]) * STRIDE
     boxes = jnp.stack([cx - w / 2, cy - h / 2, w, h], axis=-1)
     return boxes, vals, vals > threshold
+
+
+def nms(boxes, scores, valid, iou_threshold=0.45):
+    """Jittable fixed-capacity greedy NMS.
+
+    boxes [K,4] (x,y,w,h) sorted by score desc (decode's top_k order),
+    valid [K] → keep mask [K]. A box is suppressed when a higher-scoring
+    kept box overlaps it above the IoU threshold.
+    """
+    K = boxes.shape[0]
+    x0, y0 = boxes[:, 0], boxes[:, 1]
+    x1, y1 = x0 + boxes[:, 2], y0 + boxes[:, 3]
+    area = jnp.maximum(boxes[:, 2], 0) * jnp.maximum(boxes[:, 3], 0)
+    ix0 = jnp.maximum(x0[:, None], x0[None, :])
+    iy0 = jnp.maximum(y0[:, None], y0[None, :])
+    ix1 = jnp.minimum(x1[:, None], x1[None, :])
+    iy1 = jnp.minimum(y1[:, None], y1[None, :])
+    inter = (jnp.maximum(ix1 - ix0, 0) * jnp.maximum(iy1 - iy0, 0))
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+    higher = (scores[None, :] > scores[:, None]) | (
+        (scores[None, :] == scores[:, None])
+        & (jnp.arange(K)[None, :] < jnp.arange(K)[:, None]))
+    overlap = (iou > iou_threshold) & higher & valid[None, :]
+
+    # greedy sequential semantics via fori_loop over rank order: a box is
+    # kept iff no KEPT higher-ranked box suppresses it
+    def body(i, keep):
+        suppressed = jnp.any(overlap[i] & keep)
+        return keep.at[i].set(keep[i] & ~suppressed)
+
+    keep = jax.lax.fori_loop(0, K, body, valid)
+    return keep
+
+
+# ------------------------------------------------------------- persistence
+def save_params_npz(path: str, params: dict) -> None:
+    """Flat-key npz checkpoint (dependency-free shipping format; the
+    orbax train-state path lives in utils/checkpoint.py)."""
+    flat = {"/".join(str(k.key) for k in p): np.asarray(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> dict:
+    flat = np.load(path)
+    params: dict = {}
+    for key in flat.files:
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(flat[key])
+    return params
+
+
+DEFAULT_CHECKPOINT = "cnn_face_v1.npz"
+
+
+def find_checkpoint(name: str = DEFAULT_CHECKPOINT) -> str | None:
+    import os
+
+    cands = [
+        os.path.join(os.path.dirname(__file__), "..", "..", "assets",
+                     "checkpoints", name),
+        name,
+    ]
+    for c in cands:
+        if os.path.exists(c):
+            return os.path.normpath(c)
+    return None
+
+
+class CnnFaceDetector:
+    """Drop-in learned face detector: same process() surface as
+    models.face.FaceDetector (list per frame of TrackedFace with temporal
+    ID tracking), but the device path is the trained conv net + NMS decode
+    instead of the Haar cascade.
+    """
+
+    WORK_W, WORK_H = 320, 240    # grid 20x15 at STRIDE 16
+
+    def __init__(self, frame_size: tuple[int, int], params: dict | None = None,
+                 checkpoint: str | None = None, threshold: float = 0.5,
+                 n_streams: int = 1):
+        from .face import FaceTracks
+
+        self.frame_w, self.frame_h = frame_size
+        if params is None:
+            path = checkpoint or find_checkpoint()
+            if path is None:
+                raise FileNotFoundError(
+                    "no CNN checkpoint found; train one with "
+                    "models/distill.py or pass params=")
+            params = load_params_npz(path)
+        self.params = params
+        self.threshold = threshold
+        self.scale_back = self.frame_w / self.WORK_W
+        self.tracks = [FaceTracks() for _ in range(n_streams)]
+        self._detect_jit = jax.jit(self._device_detect)
+
+    def _device_detect(self, gray):
+        from ..ops.resize import resize_linear_exact
+
+        work = resize_linear_exact(gray, (self.WORK_W, self.WORK_H))
+        pred = forward(self.params, work)
+        boxes, scores, valid = decode(pred, self.threshold)
+        keep = jax.vmap(nms)(boxes, scores, valid)
+        return boxes, scores, valid & keep
+
+    def detect_boxes(self, gray) -> list[np.ndarray]:
+        """Grouped (NMS) face boxes in original coordinates."""
+        gray = jnp.asarray(gray)
+        if gray.ndim == 2:
+            gray = gray[None]
+        boxes, _, valid = self._detect_jit(gray)
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+        out = []
+        for b in range(boxes.shape[0]):
+            kept = boxes[b][valid[b]] * self.scale_back
+            out.append(np.rint(kept).astype(np.int32)
+                       if len(kept) else np.zeros((0, 4), np.int32))
+        return out
+
+    def process(self, gray, stream: int = 0, events=None):
+        dets = self.detect_boxes(gray)
+        tracks = self.tracks[stream]
+        return [list(tracks.update(d, 40)) for d in dets]

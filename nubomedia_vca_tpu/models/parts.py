@@ -7,12 +7,16 @@ detect faces on a 160-wide image, then run a part cascade over a
 face-relative ROI crop of the part-resolution image, then merge results
 temporally.
 
-TPU-native design deviation (documented): instead of per-face dynamic ROI
-crops (dynamic shapes don't compile), each part cascade runs ONCE over the
-whole part-resolution frame batch — a single jitted multiscale pass — and
-candidate windows are then assigned to face ROIs by containment on host.
-Quality-equivalent; window grids differ from per-crop scans by at most the
-stride phase (see docs/OPENCV_PARITY.md).
+TPU-native design deviation (documented + QUANTIFIED): instead of per-face
+dynamic ROI crops (dynamic shapes don't compile), each part cascade runs
+ONCE over the whole part-resolution frame batch — a single jitted
+multiscale pass — and candidate windows are then assigned to face ROIs by
+containment on host. tests/test_part_golden_parity.py gates this against
+golden OpenCV run on the reference's actual ROI crops: detection counts
+are equal; boxes match at IoU >= 0.95 when the pyramid level coincides and
+>= 0.82 when bilinear boundary/phase differences flip a borderline
+detection to the adjacent sf=1.1 level (measured: mouth >= 0.95,
+nose 0.84, eye 0.89; bound (1/1.1)^2 ~= 0.83). See docs/OPENCV_PARITY.md.
 """
 
 from __future__ import annotations

@@ -8,6 +8,11 @@ This must run before jax is imported anywhere in the test process.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Silence XLA's cpu_aot_loader feature-mismatch spam when loading persistent
+# cache entries (the compile-time feature list carries prefer-no-scatter/
+# gather pseudo-features the host query omits; results are verified
+# bit-exact by the golden parity suites).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +24,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite builds many deep-pyramid cascade
+# programs (minutes of XLA:CPU compile); caching them on disk makes repeat
+# runs compile-free. Safe to delete the directory at any time.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

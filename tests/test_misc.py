@@ -113,3 +113,32 @@ def test_rgb_vs_bgr_gray(rng):
     g1 = np.asarray(rgb_to_gray(jnp.asarray(img)))
     want = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
     assert np.array_equal(g1, want)
+
+
+def test_live_tcp_ingest_bridge():
+    """Raw-video TCP listener (gst tcpclientsink / ffmpeg rawvideo wire
+    format): one connection per stream, fixed-size frames pushed with
+    per-stream pts. Exercises native and python implementations alike."""
+    import socket
+    import time
+    from nubomedia_vca_tpu.cpp.ingest_binding import make_ingest
+
+    W_, H_ = 32, 24
+    ing = make_ingest(W_, H_, capacity=16)
+    port = ing.listen(0, channels=1)
+    f0 = np.arange(W_ * H_, dtype=np.uint8).reshape(H_, W_)
+    f1 = (f0 + 7).astype(np.uint8)
+    with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+        s.sendall(f0.tobytes())
+        s.sendall(f1.tobytes())
+        deadline = time.time() + 5
+        while ing.pending() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+    frames, pts, streams = ing.collect(4, min_frames=2, wait_ms=2000)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], f0)
+    np.testing.assert_array_equal(frames[1], f1)
+    assert list(pts) == [0, 1] and list(streams) == [0, 0]
+    # BGR wire format converts to gray at push
+    ing.stop_listen()
+    ing.close()

@@ -1,0 +1,173 @@
+"""Part-path golden parity: the repo's whole-frame-pass-then-containment
+design (models/parts.py docstring) vs the reference's per-face-ROI crop
+scans (kmsmouthdetect.cpp:858-873, kmseyedetect.cpp:979-1005,
+kmsnosedetect.cpp:855-873).
+
+Expectations are computed INDEPENDENTLY: golden OpenCV detectMultiScale on
+the actual per-face ROI crop (the reference's exact geometry), then the
+reference's coordinate transform; the repo's part outputs must match with
+equal counts and IoU >= 0.95 where the pyramid level coincides, >= 0.82
+otherwise (see ADJACENT_LEVEL_IOU below for the quantified bound).
+
+Scenes embed small cartoon faces inside each part ROI of a big face so the
+(substituted, window-exact) face cascade fires as the part cascade — the
+mcs part models are not redistributable, and cascade interchangeability is
+already golden-verified in test_engine_parity.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nubomedia_vca_tpu.models.mouth import MouthDetector, MouthDetectorConfig
+from nubomedia_vca_tpu.models.nose import NoseDetector, NoseDetectorConfig
+from nubomedia_vca_tpu.models.eye import EyeDetector, EyeDetectorConfig
+from nubomedia_vca_tpu.ops.histogram import equalize_hist
+from nubomedia_vca_tpu.ops.resize import resize_linear_exact
+
+from .fixtures import draw_face, FACE_XML
+from .golden import opencv_golden as gold
+
+
+def iou(a, b):
+    ax1, ay1 = a[0] + a[2], a[1] + a[3]
+    bx1, by1 = b[0] + b[2], b[1] + b[3]
+    iw = max(0, min(ax1, bx1) - max(a[0], b[0]))
+    ih = max(0, min(ay1, by1) - max(a[1], b[1]))
+    inter = iw * ih
+    return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
+
+
+def scene_with(parts):
+    """640x480 scene: one big face + small faces at given (cx, cy, s)."""
+    rng = np.random.RandomState(11)
+    img = np.full((480, 640), 128, np.uint8)
+    draw_face(img, 320, 230, 150)
+    for (cx, cy, s) in parts:
+        draw_face(img, cx, cy, s)
+    noise = rng.randint(-4, 5, (480, 640))
+    return np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+
+
+def preprocess(scene, w, h):
+    return np.asarray(equalize_hist(
+        resize_linear_exact(jnp.asarray(scene[None]), (w, h))))[0]
+
+
+def golden_faces(scene, det):
+    face_img = preprocess(scene, det.face_w, det.face_h)
+    return gold.detect_multi_scale(
+        FACE_XML, face_img,
+        1.0 + det.config.multi_scale_factor / 100.0,
+        det.FACE_MIN_NEIGHBORS, det.FACE_MIN_SIZE)
+
+
+def crop_detect(det, part_img, roi):
+    """Golden detectMultiScale on the ROI crop → global part-res boxes."""
+    x0, y0 = max(0, roi[0]), max(0, roi[1])
+    x1 = min(det.part_w, roi[0] + roi[2])
+    y1 = min(det.part_h, roi[1] + roi[3])
+    if x1 - x0 < 20 or y1 - y0 < 20:
+        return []
+    crop = part_img[y0:y1, x0:x1]
+    dets = gold.detect_multi_scale(FACE_XML, crop, det.PART_SCALE_FACTOR,
+                                   det.PART_MIN_NEIGHBORS, det.PART_MIN_SIZE)
+    return [(x0 + x, y0 + y, w, h) for (x, y, w, h) in dets.tolist()]
+
+
+def to_original(det, rects):
+    s = det.scale_p2o
+    return [(round((x) * s), round(y * s), round((w - 1) * s),
+             round((h - 1) * s)) for (x, y, w, h) in rects]
+
+
+# Deviation bound (documented in models/parts.py + docs/OPENCV_PARITY.md):
+# the whole-frame part pass resizes the full frame per pyramid level while
+# the reference resizes each ROI crop; bilinear boundary/phase differences
+# can flip a borderline detection to the ADJACENT sf=1.1 level, bounding
+# worst-case IoU at ~(1/1.1)^2 ≈ 0.83 (measured: nose 0.84, eye 0.89;
+# mouth lands on the same level → ≥ 0.95). Count equality always holds.
+ADJACENT_LEVEL_IOU = 0.82
+
+
+def assert_matches(got, expected, gate=0.95):
+    assert len(got) == len(expected), (got, expected)
+    for e in expected:
+        best = max((iou(g, e) for g in got), default=0.0)
+        assert best >= gate, (e, got, best)
+
+
+def test_mouth_crop_golden_parity():
+    scene = scene_with([(320, 316, 56)])      # small face in the mouth ROI
+    det = MouthDetector((640, 480),
+                        MouthDetectorConfig(mouth_cascade_path=FACE_XML))
+    got = det.process(scene)[0]["mouth"]
+
+    part_img = preprocess(scene, det.part_w, det.part_h)
+    s = det.scale_f2p
+    expected = []
+    for (fx, fy, fw, fh) in golden_faces(scene, det):
+        half_h = round(fh / 1.8)              # kmsmouthdetect.cpp:858-865
+        roi = (round(fx * s), round((fy + half_h) * s),
+               round(fw * s), round(half_h * s))
+        dets = crop_detect(det, part_img, roi)
+        if dets:                              # FIND_BIGGEST semantics
+            expected.append(max(dets, key=lambda r: r[2] * r[3]))
+    expected = to_original(det, expected)
+    assert len(expected) >= 1, "fixture must produce a mouth detection"
+    assert_matches(got, expected)
+
+
+def test_nose_crop_golden_parity():
+    scene = scene_with([(356, 240, 48)])      # small face in the nose ROI
+    det = NoseDetector((640, 480),
+                       NoseDetectorConfig(nose_cascade_path=FACE_XML))
+    got = det.process(scene)[0]["nose"]
+
+    part_img = preprocess(scene, det.part_w, det.part_h)
+    s = det.scale_f2p
+    expected = []
+    for (fx, fy, fw, fh) in golden_faces(scene, det):
+        top = round(fh * 25 / 100)            # kmsnosedetect.cpp:34-36
+        down = round(fh * 10 / 100)
+        side = round(fw * 25 / 100)
+        roi = (round((fx + side) * s), round((fy + top) * s),
+               round((fw - side) * s), round((fh - down - top) * s))
+        dets = crop_detect(det, part_img, roi)
+        if dets:
+            expected.append(max(dets, key=lambda r: r[2] * r[3]))
+    expected = to_original(det, expected)
+    assert len(expected) >= 1, "fixture must produce a nose detection"
+    assert_matches(got, expected, gate=ADJACENT_LEVEL_IOU)
+
+
+def test_eye_crop_golden_parity():
+    scene = scene_with([(246, 198, 36), (394, 198, 36)])  # one per half
+    det = EyeDetector((640, 480), EyeDetectorConfig(
+        right_cascade_path=FACE_XML, left_cascade_path=FACE_XML))
+    res = det.process(scene)[0]
+
+    part_img = preprocess(scene, det.part_w, det.part_h)
+    s = det.scale_f2p
+    exp_r, exp_l = [], []
+    for (fx, fy, fw, fh) in golden_faces(scene, det):
+        rx, ry = round(fx * s), round(fy * s)
+        rw, rh = round(fw * s), round(fh * s)
+        top = round(rh * 25 / 100)            # kmseyedetect.cpp:31-32
+        down = round(rh * 40 / 100)
+        half_r = (rx, ry + top, rw // 2, rh - top - down)
+        half_l = (rx + rw // 2, ry + top, rw // 2, rh - top - down)
+        r = crop_detect(det, part_img, half_r)
+        l = crop_detect(det, part_img, half_l)
+        if r:
+            exp_r.append(r[0])
+        if l:
+            # left-eye y aligned to the right eye's
+            # (kmseyedetect.cpp:855-861)
+            lx, ly, lw, lh = l[0]
+            exp_l.append((lx, r[0][1] if r else ly, lw, lh))
+    exp_r, exp_l = to_original(det, exp_r), to_original(det, exp_l)
+    assert len(exp_r) >= 1 and len(exp_l) >= 1, "fixture must fire both eyes"
+    assert_matches(res["eye_right"], exp_r, gate=ADJACENT_LEVEL_IOU)
+    assert_matches(res["eye_left"], exp_l, gate=ADJACENT_LEVEL_IOU)

@@ -262,3 +262,26 @@ def test_tracker_to_face_to_eye_chain():
     n_faces = sum(len(ev.detections) > 0 for ev in out["face"])
     assert n_faces >= 1, "motion events must un-gate the face detector"
     assert face_model2.gate.enabled and len(out["eye"]) == 4
+
+
+def test_overlay_http_fetch_hook():
+    """http(s) overlay URIs decode through the (injectable) fetch hook —
+    the libsoup-download path of kmsfacedetect.cpp:375-425."""
+    import cv2
+    from nubomedia_vca_tpu.api.render import load_overlay_image
+
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[:, :, 1] = 200
+    rgba[:, :, 3] = 255
+    ok, png = cv2.imencode(".png", rgba)
+    assert ok
+    calls = []
+
+    def fake_fetch(url):
+        calls.append(url)
+        return bytes(png)
+
+    img = load_overlay_image("http://cdn.example/costume.png",
+                             fetch=fake_fetch)
+    assert calls == ["http://cdn.example/costume.png"]
+    assert img.shape == (8, 8, 4) and img[0, 0, 3] == 255
