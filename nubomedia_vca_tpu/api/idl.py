@@ -32,6 +32,18 @@ MODULES = {
 _EXCLUDE = {"process", "render", "addEventListener"}
 
 
+def _kmd_type(annotation) -> str:
+    """Python annotation → kmd.json type name. Annotations arrive as
+    strings (objects.py uses `from __future__ import annotations`)."""
+    if annotation in (float, "float"):
+        return "float"
+    if annotation in (str, "str"):
+        return "String"
+    if annotation in (bool, "bool"):
+        return "boolean"
+    return "int"
+
+
 def describe(cls_name: str, event: str, info: str) -> dict:
     cls = getattr(obj_mod, cls_name)
     methods = []
@@ -39,8 +51,7 @@ def describe(cls_name: str, event: str, info: str) -> dict:
         if name.startswith("_") or name in _EXCLUDE:
             continue
         params = [
-            {"name": p, "type": "float" if a is float else "String"
-             if a is str else "int"}
+            {"name": p, "type": _kmd_type(a)}
             for p, a in (
                 (pn, pp.annotation)
                 for pn, pp in inspect.signature(fn).parameters.items()
