@@ -88,15 +88,27 @@ def _steps(engine, work_h):
     return step_raw, step_grouped
 
 
-def _throughput(step, gray, B, n_iter=100):
-    import jax
+def _throughput(step, gray, B, n_iter=100, n_variants=8):
+    """Steady-state throughput over DISTINCT input batches.
 
-    out = step(gray)
+    Timing one buffer repeatedly overstates throughput ~2x on this backend
+    (buffer-residency/reuse effects measured on the v5e: 41 us/batch same
+    input vs 72 us cycled at B=64) — a real stream never replays one
+    batch, so the bench cycles n_variants perturbed copies."""
+    import jax
+    import jax.numpy as jnp
+
+    host = np.asarray(gray)
+    variants = []
+    for s in range(n_variants):
+        v = host.copy()
+        v[:, s::13, :] ^= 1
+        variants.append(jnp.asarray(v))
+    out = step(variants[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = step(gray)
-    jax.block_until_ready(out)
+    outs = [step(variants[i % n_variants]) for i in range(n_iter)]
+    jax.block_until_ready(outs)
     fps = B * n_iter / (time.perf_counter() - t0)
     # canary AFTER timing (D2H poisons subsequent dispatches on the tunnel)
     if int(np.asarray(out[1]).sum()) == 0:

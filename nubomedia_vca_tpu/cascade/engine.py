@@ -109,6 +109,7 @@ class CascadeEngine:
         block_plan: list[tuple[int, float]] | None = None,
         max_capacity: int = 32768,
         use_pallas_integral: bool | None = None,
+        use_pallas_dense: bool | None = None,
     ):
         """block_plan: list of (n_stages, capacity_frac) for matmul blocks;
         the last entry's n_stages may exceed what remains (clamped). The
@@ -142,6 +143,19 @@ class CascadeEngine:
         self._use_pallas_integral = use_pallas_integral
 
         self._build_tables(block_plan)
+        if use_pallas_dense is None:
+            # fused integral+sq+norm+dense kernel (ops/pallas/dense_pallas):
+            # one VMEM residency per frame/level, iisq never materialized in
+            # HBM. In matched fresh-process comparisons on the v5e chip it
+            # measured <= the XLA dense phase at B=64 and B=256 (23.5 vs
+            # 26.1 us/batch, 17.4 vs 22.2; tunnel-harness enqueue timings —
+            # see tools/profile_breakdown.py); window sets are identical
+            # (tests/test_pallas_ops.py). Tilted dense blocks are
+            # unsupported (sequential 45-degree recurrence).
+            use_pallas_dense = (jax.default_backend() == "tpu"
+                                and not self._dense_uses_tilt)
+        self._use_pallas_dense = use_pallas_dense and not self._dense_uses_tilt
+        self._dense_kernels: dict = {}
         self._detect_jit = jax.jit(self._detect_impl)
         # fine scale factors produce very deep pyramids whose whole-program
         # graphs choke the TPU remote compiler — default those to per-level
@@ -380,48 +394,73 @@ class CascadeEngine:
                                          self._maps[li])]:
             overflow = jnp.zeros((B,), bool)
             img = resize_linear_exact(gray, (l.sw, l.sh))
-            if self._use_pallas_integral:
-                # fused kernel: one VMEM pass produces both tables
-                from ..ops.pallas.integral_pallas import integral_images_pallas
-                ii, iisq = integral_images_pallas(img)
-            else:
-                ii = integral_image(img)
-                iisq = sq_integral_image(img)
-            iit = tilted_integral_image(img) if self._uses_tilt else None
             ny, nx, step = l.ny, l.nx, l.ystep
             nwin = ny * nx
 
-            # variance normalization, dense
-            valsum = self._dense_rect_sum(ii, self._norm_corners, ny, nx, step)
-            sqv = self._dense_rect_sum(iisq, self._norm_corners, ny, nx, step)
-            sq_u = jax.lax.bitcast_convert_type(sqv, jnp.uint32)
-            vf = valsum.astype(jnp.float32)
-            nf = self._norm_area * sq_u.astype(jnp.float32) - vf * vf
-            # OpenCV 4.x rejects windows whose pixel stddev is <= 10, i.e.
-            # nf <= 100*area^2 (empirically pinned against the golden tool:
-            # sigma == 10.00 fails, 10.03 passes).
-            win_valid = nf > 100.0 * self._norm_area * self._norm_area
-            vnf = jnp.where(win_valid,
-                            1.0 / jnp.sqrt(jnp.maximum(nf, 1e-20)), 1.0)
+            if self._use_pallas_dense:
+                # fused kernel: integral + sq-integral + norm + dense stages
+                # in one VMEM residency (iisq never reaches HBM); the kernel
+                # emits full-density maps, subsampled to the ystep grid here.
+                kern = self._dense_kernels.get((l.sh, l.sw))
+                if kern is None:
+                    from ..ops.pallas.dense_pallas import build_dense_phase
+                    kern = build_dense_phase(self, l.sh, l.sw)
+                    self._dense_kernels[(l.sh, l.sw)] = kern
+                ii, vnf_full, alive_full = kern(img)
+                iit = (tilted_integral_image(img) if self._uses_tilt
+                       else None)
+                sub = (slice(None), slice(0, None, step), slice(0, None, step))
+                alive = alive_full[sub].astype(bool)
+                vnf = vnf_full[sub]
+            else:
+                if self._use_pallas_integral:
+                    # fused kernel: one VMEM pass produces both tables
+                    from ..ops.pallas.integral_pallas import (
+                        integral_images_pallas)
+                    ii, iisq = integral_images_pallas(img)
+                else:
+                    ii = integral_image(img)
+                    iisq = sq_integral_image(img)
+                iit = (tilted_integral_image(img) if self._uses_tilt
+                       else None)
 
-            # dense block
-            cache: dict[int, jnp.ndarray] = {}
-            alive = win_valid
-            widx, n_d = 0, len(d["feat0"])
-            for s_idx in range(self.n_dense_stages):
-                ssum = jnp.zeros_like(vnf)
-                while widx < n_d and d["stage"][widx] == s_idx:
-                    f0 = self._dense_feature(ii, iit, int(d["feat0"][widx]),
-                                             ny, nx, step, cache) * vnf
-                    fL = self._dense_feature(ii, iit, int(d["featL"][widx]),
-                                             ny, nx, step, cache) * vnf
-                    fR = self._dense_feature(ii, iit, int(d["featR"][widx]),
-                                             ny, nx, step, cache) * vnf
-                    ssum = ssum + self._weak_tree(
-                        f0, fL, fR, d["thr0"][widx], d["thrL"][widx],
-                        d["thrR"][widx], d["leavesL"][widx], d["leavesR"][widx])
-                    widx += 1
-                alive = alive & (ssum >= d["stage_thr"][s_idx])
+                # variance normalization, dense
+                valsum = self._dense_rect_sum(
+                    ii, self._norm_corners, ny, nx, step)
+                sqv = self._dense_rect_sum(
+                    iisq, self._norm_corners, ny, nx, step)
+                sq_u = jax.lax.bitcast_convert_type(sqv, jnp.uint32)
+                vf = valsum.astype(jnp.float32)
+                nf = self._norm_area * sq_u.astype(jnp.float32) - vf * vf
+                # OpenCV 4.x rejects windows whose pixel stddev is <= 10,
+                # i.e. nf <= 100*area^2 (empirically pinned against the
+                # golden tool: sigma == 10.00 fails, 10.03 passes).
+                win_valid = nf > 100.0 * self._norm_area * self._norm_area
+                vnf = jnp.where(win_valid,
+                                1.0 / jnp.sqrt(jnp.maximum(nf, 1e-20)), 1.0)
+
+                # dense block
+                cache: dict[int, jnp.ndarray] = {}
+                alive = win_valid
+                widx, n_d = 0, len(d["feat0"])
+                for s_idx in range(self.n_dense_stages):
+                    ssum = jnp.zeros_like(vnf)
+                    while widx < n_d and d["stage"][widx] == s_idx:
+                        f0 = self._dense_feature(
+                            ii, iit, int(d["feat0"][widx]),
+                            ny, nx, step, cache) * vnf
+                        fL = self._dense_feature(
+                            ii, iit, int(d["featL"][widx]),
+                            ny, nx, step, cache) * vnf
+                        fR = self._dense_feature(
+                            ii, iit, int(d["featR"][widx]),
+                            ny, nx, step, cache) * vnf
+                        ssum = ssum + self._weak_tree(
+                            f0, fL, fR, d["thr0"][widx], d["thrL"][widx],
+                            d["thrR"][widx], d["leavesL"][widx],
+                            d["leavesR"][widx])
+                        widx += 1
+                    alive = alive & (ssum >= d["stage_thr"][s_idx])
 
             alive_flat = alive.reshape(B, nwin)
             vnf_flat = vnf.reshape(B, nwin)

@@ -82,7 +82,10 @@ def label_batch(teacher, scenes: np.ndarray):
 
 def train(steps: int = 1500, batch: int = 32, seed: int = 0,
           lr: float = 3e-4, log_every: int = 100, out: str | None = None,
-          regen_every: int = 50, n_pool: int = 16):
+          regen_every: int = 50, n_pool: int = 16, save_every: int = 1000,
+          max_seconds: float | None = None):
+    import time
+
     import jax
     import jax.numpy as jnp
 
@@ -98,33 +101,43 @@ def train(steps: int = 1500, batch: int = 32, seed: int = 0,
     targets_jit = jax.jit(
         lambda b, v: cnn.boxes_to_targets(b, v, H, W))
 
-    # data pool: regenerating scenes + teacher labels is host work; a pool
-    # of n_pool pre-labeled batches is refreshed one batch at a time
-    pool = []
-    for _ in range(n_pool):
+    # data pool of pre-labeled batches, resident on DEVICE (scenes + targets
+    # are uploaded once per pool refresh, not per step — the H2D upload per
+    # step would otherwise dominate on a tunneled TPU)
+    def make_entry():
         scenes = np.stack([make_scene(rng) for _ in range(batch)])
-        pool.append((scenes, *label_batch(teacher, scenes)))
+        b, v = label_batch(teacher, scenes)
+        obj_t, reg_t = targets_jit(jnp.asarray(b), jnp.asarray(v))
+        return jnp.asarray(scenes), obj_t, reg_t
 
+    pool = [make_entry() for _ in range(n_pool)]
+
+    def save(p):
+        if out:
+            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+            cnn.save_params_npz(out, jax.device_get(p))
+            print(f"saved {out}", flush=True)
+
+    t0 = time.monotonic()
     loss = None
     for it in range(steps):
-        if regen_every and it % regen_every == 0:
-            scenes = np.stack([make_scene(rng) for _ in range(batch)])
-            pool[it // regen_every % n_pool] = (
-                scenes, *label_batch(teacher, scenes))
-        scenes, b, v = pool[it % n_pool]
-        obj_t, reg_t = targets_jit(jnp.asarray(b), jnp.asarray(v))
+        if regen_every and it and it % regen_every == 0:
+            pool[it // regen_every % n_pool] = make_entry()
+        scenes_d, obj_t, reg_t = pool[it % n_pool]
         params, opt_state, loss = step_jit(
-            params, opt_state, jnp.asarray(scenes), obj_t, reg_t)
+            params, opt_state, scenes_d, obj_t, reg_t)
         if log_every and it % log_every == 0:
-            print(f"step {it}: loss {float(np.asarray(loss)):.4f}",
-                  flush=True)
+            print(f"step {it}: loss {float(np.asarray(loss)):.4f} "
+                  f"({time.monotonic() - t0:.0f}s)", flush=True)
+        if save_every and it and it % save_every == 0:
+            save(params)
+        if max_seconds is not None and time.monotonic() - t0 > max_seconds:
+            print(f"time budget hit at step {it}", flush=True)
+            break
 
     final = float(np.asarray(loss))
     print(f"final loss {final:.4f}", flush=True)
-    if out:
-        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-        cnn.save_params_npz(out, params)
-        print(f"saved {out}", flush=True)
+    save(params)
     return params, final
 
 
@@ -182,8 +195,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="assets/checkpoints/cnn_face_v1.npz")
     ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--max-seconds", type=float, default=None)
     ns = ap.parse_args(argv)
-    params, _ = train(ns.steps, ns.batch, ns.seed, ns.lr, out=ns.out)
+    params, _ = train(ns.steps, ns.batch, ns.seed, ns.lr, out=ns.out,
+                      max_seconds=ns.max_seconds)
     if ns.eval:
         evaluate(params)
     return 0

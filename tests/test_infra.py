@@ -126,3 +126,28 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out[0].ndim == 3
+
+
+def test_init_distributed_single_process():
+    """Multi-host bring-up path (parallel/mesh.init_distributed →
+    jax.distributed.initialize over DCN), exercised as a 1-process
+    cluster in a subprocess so the coordinator service doesn't leak
+    global state into this test process."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "from nubomedia_vca_tpu.parallel.mesh import init_distributed, "
+        "make_mesh\n"
+        "import jax\n"
+        "init_distributed('localhost:19731', num_processes=1, process_id=0)\n"
+        "assert jax.process_count() == 1\n"
+        "mesh = make_mesh()\n"
+        "print('mesh', mesh.shape)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "mesh" in out.stdout
