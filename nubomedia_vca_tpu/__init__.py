@@ -32,8 +32,15 @@ def _setup_compilation_cache() -> None:
     first-time XLA compiles cost seconds (CPU) to minutes (TPU remote
     compiler); caching the executables on disk makes every later process
     start detection immediately. No-op when the application already
-    configured a cache dir."""
+    configured a cache dir.
+
+    The cache dir is keyed by a host-CPU fingerprint: XLA:CPU AOT results
+    baked for one machine's ISA extensions can SIGILL on another (observed
+    as a loader warning when a cache crossed machines), so caches must not
+    be shared across differing hosts."""
+    import hashlib
     import os
+    import platform
 
     if os.environ.get("VCA_NO_COMPILE_CACHE"):
         return
@@ -42,9 +49,16 @@ def _setup_compilation_cache() -> None:
 
         if jax.config.jax_compilation_cache_dir:
             return
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+        except OSError:
+            flags = platform.processor()
+        fp = hashlib.sha1(
+            (platform.machine() + flags).encode()).hexdigest()[:12]
         cache = os.environ.get("VCA_JAX_CACHE_DIR") or os.path.join(
             os.path.expanduser("~"), ".cache", "nubomedia_vca_tpu",
-            "jax_cache")
+            f"jax_cache_{fp}")
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # pragma: no cover — cache is best-effort
