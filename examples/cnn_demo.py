@@ -28,9 +28,9 @@ def main():
                          "teacher on held-out scenes")
     args = ap.parse_args()
 
-    import jax
     if not args.tpu:
-        jax.config.update("jax_platforms", "cpu")
+        from nubomedia_vca_tpu import force_cpu_backend
+        force_cpu_backend()
 
     import numpy as np
     from nubomedia_vca_tpu.models import cnn, distill

@@ -17,8 +17,8 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 
 def main():
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+    from nubomedia_vca_tpu import force_cpu_backend
+    force_cpu_backend()
     from fixtures import face_clip
     from nubomedia_vca_tpu.api import client_gen, idl
     from nubomedia_vca_tpu.api.rpc import VcaRpcServer

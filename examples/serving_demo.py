@@ -25,9 +25,9 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     args = ap.parse_args()
 
-    import jax
     if not args.tpu:
-        jax.config.update("jax_platforms", "cpu")
+        from nubomedia_vca_tpu import force_cpu_backend
+        force_cpu_backend()
     import numpy as np
     from fixtures import face_scene
     from nubomedia_vca_tpu.models.face import FaceDetector

@@ -24,6 +24,41 @@ Layout (mirrors SURVEY.md §7 build plan):
 __version__ = "0.2.0"
 
 
+def cache_dir_for_platforms(plats: str) -> str:
+    """Persistent-compile-cache dir for a JAX_PLATFORMS value on this host
+    (see _setup_compilation_cache for why the platform mode is in the key).
+    Call with 'cpu' before forcing the CPU backend after import time."""
+    import hashlib
+    import os
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = platform.processor()
+    fp = hashlib.sha1(
+        (platform.machine() + flags + ":" + plats).encode()).hexdigest()[:12]
+    return os.environ.get("VCA_JAX_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "nubomedia_vca_tpu",
+        f"jax_cache_{fp}")
+
+
+def force_cpu_backend() -> None:
+    """Switch this process to the CPU backend AND re-key the persistent
+    compile cache for it (must run before the first jax device query).
+    Use this instead of a bare `jax.config.update('jax_platforms', 'cpu')`
+    so platform-crossed XLA:CPU AOT cache entries can't load."""
+    import os
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if not os.environ.get("VCA_NO_COMPILE_CACHE"):
+        jax.config.update("jax_compilation_cache_dir",
+                          cache_dir_for_platforms("cpu"))
+
+
 def _setup_compilation_cache() -> None:
     """Enable JAX's persistent compilation cache (opt-out via
     VCA_NO_COMPILE_CACHE=1, relocate via VCA_JAX_CACHE_DIR).
@@ -34,13 +69,14 @@ def _setup_compilation_cache() -> None:
     start detection immediately. No-op when the application already
     configured a cache dir.
 
-    The cache dir is keyed by a host-CPU fingerprint: XLA:CPU AOT results
-    baked for one machine's ISA extensions can SIGILL on another (observed
-    as a loader warning when a cache crossed machines), so caches must not
-    be shared across differing hosts."""
-    import hashlib
+    The cache dir is keyed by a host-CPU + platform-mode fingerprint
+    (cache_dir_for_platforms): XLA:CPU AOT results baked for one machine's
+    ISA extensions can stall or SIGABRT on another, and processes using a
+    remote/tunnel TPU platform (e.g. axon) produce XLA:CPU AOT entries
+    targeting the REMOTE host's CPU — observed locally as
+    "Target machine feature ... not supported" loader errors followed by
+    multi-minute stalls and shutdown aborts."""
     import os
-    import platform
 
     if os.environ.get("VCA_NO_COMPILE_CACHE"):
         return
@@ -49,16 +85,8 @@ def _setup_compilation_cache() -> None:
 
         if jax.config.jax_compilation_cache_dir:
             return
-        try:
-            with open("/proc/cpuinfo") as f:
-                flags = next((ln for ln in f if ln.startswith("flags")), "")
-        except OSError:
-            flags = platform.processor()
-        fp = hashlib.sha1(
-            (platform.machine() + flags).encode()).hexdigest()[:12]
-        cache = os.environ.get("VCA_JAX_CACHE_DIR") or os.path.join(
-            os.path.expanduser("~"), ".cache", "nubomedia_vca_tpu",
-            f"jax_cache_{fp}")
+        cache = cache_dir_for_platforms(
+            os.environ.get("JAX_PLATFORMS", "default"))
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # pragma: no cover — cache is best-effort

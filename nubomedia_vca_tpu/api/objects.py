@@ -45,12 +45,40 @@ class MediaPipeline:
     def __init__(self, frame_size=(640, 480)):
         self.frame_size = frame_size
         self.elements = []
+        self._runner = None
 
     def register(self, el):
         self.elements.append(el)
         return el
 
+    # --- media loop (RPC-invokable) ----------------------------------------
+    def listen(self, port: int = 0, channels: int = 1) -> int:
+        """Start the media loop and open its raw-video TCP port (the
+        WebRTC/RTP-decode stand-in; see api/media_loop.py). Returns the
+        bound port; push W*H(*channels) bytes per frame per connection."""
+        from .media_loop import MediaRunner
+        if self._runner is None:
+            self._runner = MediaRunner(self)
+        return self._runner.listen(int(port), int(channels))
+
+    def pushFrame(self, frame, pts: int = 0, stream: int = 0):
+        """In-process frame feed into the media loop (tests / co-located
+        apps); starts the loop on first use."""
+        from .media_loop import MediaRunner
+        if self._runner is None:
+            self._runner = MediaRunner(self)
+        self._runner.push(np.asarray(frame, dtype=np.uint8), pts, stream)
+
+    def framesProcessed(self) -> int:
+        return self._runner.frames_processed if self._runner else 0
+
+    def stopMedia(self):
+        if self._runner is not None:
+            self._runner.stop()
+            self._runner = None
+
     def release(self):
+        self.stopMedia()
         self.elements.clear()
 
 

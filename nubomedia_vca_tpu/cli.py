@@ -118,9 +118,9 @@ def main(argv=None):
     if not ns.synthetic and ns.input is None:
         ap.error("--input or --synthetic required")
 
-    import jax
     if not ns.tpu:
-        jax.config.update("jax_platforms", "cpu")
+        from nubomedia_vca_tpu import force_cpu_backend
+        force_cpu_backend()
 
     gray, src_fps = _read_frames(ns)
     n, H, W = gray.shape
