@@ -385,6 +385,15 @@ class CascadeEngine:
                 jnp.concatenate(out_valid, axis=1),
                 overflow)
 
+    # Mosaic allocates the dense kernel's whole live set on the VMEM stack;
+    # measured ~250 B/grid-element for the face-alt dense block (a 241x321
+    # level wanted 19.19M > the 16M limit). Levels above this grid size run
+    # the XLA dense phase instead (per-level choice, same results).
+    PALLAS_DENSE_MAX_ELEMS = 48_000
+
+    def _pallas_dense_fits(self, l) -> bool:
+        return (l.sh + 1) * (l.sw + 1) <= self.PALLAS_DENSE_MAX_ELEMS
+
     def _eval_level(self, gray, li: int):
         """One pyramid level → (boxes [B,cap,4], alive [B,cap], ovf [B])."""
         B = gray.shape[0]
@@ -397,7 +406,7 @@ class CascadeEngine:
             ny, nx, step = l.ny, l.nx, l.ystep
             nwin = ny * nx
 
-            if self._use_pallas_dense:
+            if self._use_pallas_dense and self._pallas_dense_fits(l):
                 # fused kernel: integral + sq-integral + norm + dense stages
                 # in one VMEM residency (iisq never reaches HBM); the kernel
                 # emits full-density maps, subsampled to the ystep grid here.
