@@ -16,9 +16,29 @@ method) lazily starts the runner and returns the bound TCP port.
 
 from __future__ import annotations
 
+import atexit
 import threading
+import weakref
 
 import numpy as np
+
+_RUNNERS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+@atexit.register
+def _stop_all_runners() -> None:
+    """Join every live runner thread before interpreter teardown.
+
+    A daemon thread abandoned inside an XLA compile/execute gets
+    pthread_exit'd at interpreter finalization; the forced unwind through
+    C++ frames aborts the whole process ("FATAL: exception not rethrown").
+    Joining here (however long the in-flight step takes) is strictly
+    better than a guaranteed crash."""
+    for r in list(_RUNNERS):
+        try:
+            r.stop()
+        except Exception:  # noqa: BLE001 — teardown must not raise
+            pass
 
 
 class MediaRunner:
@@ -35,6 +55,7 @@ class MediaRunner:
         self._thread = None
         self.port = None
         self.frames_processed = 0
+        _RUNNERS.add(self)
 
     # -- lifecycle ----------------------------------------------------------
     def listen(self, port: int = 0, channels: int = 1) -> int:
@@ -52,34 +73,46 @@ class MediaRunner:
             self._thread.start()
 
     def stop(self) -> None:
+        """Stop the loop and JOIN the worker (blocking until any in-flight
+        element step — possibly a minutes-long first XLA compile — ends;
+        abandoning the thread would crash the process at interpreter exit,
+        see _stop_all_runners)."""
         self._stop.set()
         try:
             self.ingest.stop_listen()
         except Exception:  # noqa: BLE001 — not listening
             pass
         if self._thread is not None:
-            self._thread.join(timeout=5)
+            self._thread.join()
             self._thread = None
 
     # -- the loop -----------------------------------------------------------
-    def _step(self, frames) -> None:
+    def _step(self, frames, stream: int = 0) -> None:
         """Run every element of the pipeline over one frame batch, chaining
-        face boxes into the part detectors (GstEvent-flow analog)."""
+        face boxes into the part detectors (GstEvent-flow analog).
+
+        `stream` keys the face elements' per-stream track state; part
+        detectors and the motion tracker keep single-stream temporal state
+        (the reference's model is one pipeline per stream — create one
+        MediaPipeline per stream for exact part/tracker semantics)."""
         face_boxes = None
         for el in list(self.pipeline.elements):
+            if self._stop.is_set():
+                return
             try:
                 if hasattr(el, "_config") and hasattr(
                         el._config, "face_cascade_path"):
                     # part detector: consumes upstream face boxes
                     el.process(frames, face_boxes=face_boxes)
+                elif el.__class__.__name__ == "NuboFaceDetector":
+                    res = el.process(frames, stream=stream)
+                    face_boxes = [
+                        np.array([f.rect() for f in faces])
+                        if faces else None
+                        for faces in res
+                    ]
                 else:
-                    res = el.process(frames)
-                    if el.__class__.__name__ == "NuboFaceDetector":
-                        face_boxes = [
-                            np.array([f.rect() for f in faces])
-                            if faces else None
-                            for faces in res
-                        ]
+                    el.process(frames)
             except Exception:  # noqa: BLE001 — one element must not kill
                 import traceback
                 traceback.print_exc()
@@ -94,4 +127,7 @@ class MediaRunner:
             if frames.shape[0] == 0:
                 time.sleep(0.005)
                 continue
-            self._step(frames)
+            # frames arrive interleaved across TCP connections; process
+            # per-stream so track IDs never cross streams
+            for s in np.unique(streams):
+                self._step(frames[streams == s], stream=int(s))

@@ -209,9 +209,9 @@ class NuboFaceDetector(_FilterObject):
     def areaThreshold(self, threshold: int):
         self._set(area_threshold=int(threshold))
 
-    def process(self, frames):
+    def process(self, frames, stream: int = 0):
         model = self._ensure_model()
-        res = model.process(frames)
+        res = model.process(frames, stream=stream)
         for faces in res:
             self._emit([("face", f.rect()) for f in faces])
         return res

@@ -260,6 +260,10 @@ class CnnFaceDetector:
         return out
 
     def process(self, gray, stream: int = 0, events=None):
+        from .face import FaceTracks
+
         dets = self.detect_boxes(gray)
+        while stream >= len(self.tracks):
+            self.tracks.append(FaceTracks())
         tracks = self.tracks[stream]
         return [list(tracks.update(d, 40)) for d in dets]

@@ -162,6 +162,13 @@ class FaceDetector:
                               scaled=False)
         self.tracks = [FaceTracks() for _ in range(n_streams)]
 
+    def _tracks_for(self, stream: int) -> "FaceTracks":
+        """Per-stream track state, grown on demand (the media loop routes
+        frames from any number of TCP connections through one model)."""
+        while stream >= len(self.tracks):
+            self.tracks.append(FaceTracks())
+        return self.tracks[stream]
+
     # device part: resize + equalize + cascade
     def _device_detect(self, gray):
         gray = jnp.asarray(gray)
@@ -208,7 +215,7 @@ class FaceDetector:
         if mask.any():
             det = self.detect_boxes(gray[mask])
         det_iter = iter(det if mask.any() else [])
-        tracks = self.tracks[stream]
+        tracks = self._tracks_for(stream)
         for i in range(n):
             if mask[i]:
                 faces = tracks.update(next(det_iter), self.config.track_threshold)

@@ -136,18 +136,23 @@ def test_init_distributed_single_process():
     import subprocess
     import sys
 
+    import os
+
     code = (
-        "import os\n"
-        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "from nubomedia_vca_tpu.parallel.mesh import init_distributed, "
         "make_mesh\n"
-        "import jax\n"
         "init_distributed('localhost:19731', num_processes=1, process_id=0)\n"
         "assert jax.process_count() == 1\n"
         "mesh = make_mesh()\n"
         "print('mesh', mesh.shape)\n"
     )
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=120)
+    # JAX_PLATFORMS must be in the env BEFORE the interpreter starts: the
+    # axon sitecustomize imports jax at startup, which caches the env-var
+    # read (an os.environ set inside the child would be ignored)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr
     assert "mesh" in out.stdout
