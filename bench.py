@@ -228,17 +228,43 @@ def phase_e2e(B, use_feeder=False):
     _emit(name, round(fps, 1), "frames/s", round(fps / 1000.0, 3))
 
 
+def phase_cnn(B):
+    """Learned-detector device path at 720p: f32 vs int8 (weights
+    per-channel int8, activations via the fused Pallas dynamic-quant
+    kernel; int8 x int8 → int32 on the MXU)."""
+    import jax
+    from nubomedia_vca_tpu.models import cnn as cnn_mod
+    from nubomedia_vca_tpu.models import quant as quant_mod
+    from tests.fixtures import face_scene
+
+    rng = np.random.RandomState(0)
+    frames = np.stack([
+        face_scene(W, H, faces=((rng.randint(200, 1080),
+                                 rng.randint(200, 520), 150),),
+                   noise=6, seed=i)
+        for i in range(B)
+    ])
+    det32 = cnn_mod.CnnFaceDetector((W, H))
+    det8 = quant_mod.QuantizedCnnFaceDetector((W, H))
+    f32 = _throughput(jax.jit(det32._device_detect), frames, B)
+    _emit("cnn_720p_fps", round(f32, 1), "frames/s", round(f32 / 1000.0, 3))
+    i8 = _throughput(jax.jit(det8._device_detect_int8), frames, B)
+    _emit("cnn_int8_720p_fps", round(i8, 1), "frames/s",
+          round(i8 / 1000.0, 3))
+
+
 PHASES = {
     "raw": phase_raw,
     "grouped": phase_grouped,
     "latency": phase_latency,
     "e2e": lambda B: phase_e2e(B, use_feeder=False),
     "feeder": lambda B: phase_e2e(B, use_feeder=True),
+    "cnn": phase_cnn,
 }
 
 # cheap phases first; the headline (grouped) runs last so its JSON line is
 # the final stdout line for drivers that keep only one
-PHASE_ORDER = ["raw", "latency", "e2e", "feeder", "grouped"]
+PHASE_ORDER = ["raw", "latency", "e2e", "feeder", "cnn", "grouped"]
 
 
 def main():

@@ -63,6 +63,12 @@ def _as_lanes(x):
     return flat.reshape(-1, _LANES), n
 
 
+# single-block kernel ceiling: the f32 input + int8 output + temps live on
+# Mosaic's 16M VMEM stack (a [4800,1024] input OOMed at 18.61M); larger
+# tensors take the XLA path (same int8 values, two fused passes)
+_MAX_ELEMS = 1_500_000
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def quantize_int8_pallas(x, interpret: bool | None = None):
     """x (any shape) f32 → (values int8 same shape, scale f32 scalar).
@@ -71,6 +77,8 @@ def quantize_int8_pallas(x, interpret: bool | None = None):
     cannot raise the abs-max (|0| <= any |v|), so the scale is exact."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if x.size > _MAX_ELEMS:
+        return quantize_int8_xla(x)
     x2, n = _as_lanes(x)
     values, scale = pl.pallas_call(
         _quant_kernel,
@@ -95,8 +103,8 @@ def quantize_int8_stochastic_pallas(x, seed, interpret: bool | None = None):
     targets); falls back to deterministic rounding off-TPU."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if interpret:
-        return quantize_int8_pallas(x, interpret=True)
+    if interpret or x.size > _MAX_ELEMS:
+        return quantize_int8_pallas(x, interpret=interpret)
     x2, n = _as_lanes(x)
     seed_arr = jnp.asarray([seed], jnp.int32)
     values, scale = pl.pallas_call(
