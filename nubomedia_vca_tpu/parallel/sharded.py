@@ -39,6 +39,24 @@ def make_sharded_detect(engine, mesh: Mesh):
     return detect
 
 
+def make_sharded_detect_grouped(engine, mesh: Mesh, min_neighbors: int = 3):
+    """The FULL per-frame device program (cascade + on-device minNeighbors
+    grouping) sharded over 'data'. Grouping is per-frame independent, so it
+    runs shard-local; only the grouped [B,K] outputs are all-gathered.
+    Returns fn(gray [B,H,W]) → (boxes, valid, weights, overflow)."""
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=frame_sharding(mesh),
+        out_shardings=replicated(mesh),
+    )
+    def detect(gray):
+        return engine._group_impl(*engine._detect_impl(gray),
+                                  min_neighbors=min_neighbors)
+
+    return detect
+
+
 def make_sharded_train_step(optimizer, mesh: Mesh, params, opt_state):
     """Returns (train_step_fn, sharded_params, sharded_opt_state) with
     dp (batch) × tp (head features) shardings applied."""

@@ -142,3 +142,39 @@ def test_live_tcp_ingest_bridge():
     # BGR wire format converts to gray at push
     ing.stop_listen()
     ing.close()
+
+
+def test_sharded_serving_multi_stream():
+    """Serving shape on the virtual 8-device mesh: the StreamFeeder
+    assembles one static batch from 8 streams, the FULL device program
+    (cascade + grouping) runs sharded over 'data', and per-stream grouped
+    boxes equal the unsharded engine's (SURVEY.md §2.5: stream scheduler +
+    sharded detection + all-gathered results)."""
+    from nubomedia_vca_tpu.parallel.mesh import make_mesh
+    from nubomedia_vca_tpu.parallel.sharded import make_sharded_detect_grouped
+    from nubomedia_vca_tpu.pipeline.scheduler import StreamFeeder
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+    from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
+    from .fixtures import FACE_XML, face_scene
+
+    W, H = 96, 72
+    mesh = make_mesh(n_data=8, n_model=1)
+    eng = CascadeEngine(load_cascade_xml(FACE_XML), (W, H), 1.25)
+    detect = make_sharded_detect_grouped(eng, mesh, 2)
+
+    feeder = StreamFeeder(W, H, batch=8)
+    for s in range(8):
+        feeder.push(s, face_scene(W, H, faces=((48, 36, 24),), noise=7,
+                                  seed=s), pts=s)
+    frames, pts, streams, n_real = feeder.next_batch()
+    assert frames.shape == (8, H, W) and n_real == 8
+
+    boxes, valid, weights, ovf = detect(jnp.asarray(frames))
+    b2, v2, w2, _ = eng.detect_grouped(jnp.asarray(frames), 2)
+    assert np.array_equal(np.asarray(valid), np.asarray(v2))
+    assert np.array_equal(np.asarray(boxes), np.asarray(b2))
+    assert np.array_equal(np.asarray(weights), np.asarray(w2))
+    # route grouped boxes back per stream
+    per_stream = {int(streams[i]): np.asarray(boxes[i][np.asarray(valid[i])])
+                  for i in range(8)}
+    assert len(per_stream) == 8
