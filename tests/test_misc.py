@@ -178,3 +178,23 @@ def test_sharded_serving_multi_stream():
     per_stream = {int(streams[i]): np.asarray(boxes[i][np.asarray(valid[i])])
                   for i in range(8)}
     assert len(per_stream) == 8
+
+
+def test_cli_tracker_synthetic(tmp_path):
+    """The run_plugin.sh-analog CLI end-to-end: synthetic clip → tracker →
+    stdout detections + annotated video file."""
+    import contextlib
+    import io
+
+    from nubomedia_vca_tpu import cli
+
+    out_file = str(tmp_path / "out.mp4")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["tracker", "--synthetic", "--frames", "6",
+                       "--output", out_file])
+    assert rc == 0
+    text = buf.getvalue()
+    assert "tracker: 6 frames" in text and "frame 5:" in text
+    import os
+    assert os.path.getsize(out_file) > 0
