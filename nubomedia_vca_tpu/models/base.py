@@ -125,3 +125,23 @@ def gated_gop_mask(gop: GopScheduler, gate: EventGate, n: int,
             if gate.enabled:
                 gate.budget -= 1
     return mask
+
+
+def bucket_pad(gray: np.ndarray):
+    """Pad a frame batch to the next power-of-two size (repeating the
+    first frame) → (padded, n_real).
+
+    Gated/GOP-masked processing produces sub-batches of every size 1..B;
+    each distinct batch size is a separate XLA compilation of the whole
+    pyramid program (minutes each through a remote TPU compiler). Bucketing
+    bounds the shape set to log2(B) sizes; callers slice results [:n_real].
+    """
+    gray = np.asarray(gray)
+    n = gray.shape[0]
+    if n == 0:
+        return gray, 0
+    m = 1 << (n - 1).bit_length()
+    if m != n:
+        pad = np.repeat(gray[:1], m - n, axis=0)
+        gray = np.concatenate([gray, pad], axis=0)
+    return gray, n

@@ -246,14 +246,19 @@ class CnnFaceDetector:
         return boxes, scores, valid & keep
 
     def detect_boxes(self, gray) -> list[np.ndarray]:
-        """Grouped (NMS) face boxes in original coordinates."""
-        gray = jnp.asarray(gray)
+        """Grouped (NMS) face boxes in original coordinates. Batches are
+        padded to power-of-two buckets (base.bucket_pad) to bound the set
+        of compiled program shapes."""
+        from .base import bucket_pad
+
+        gray = np.asarray(gray)
         if gray.ndim == 2:
             gray = gray[None]
-        boxes, _, valid = self._detect_jit(gray)
+        gray, n_real = bucket_pad(gray)
+        boxes, _, valid = self._detect_jit(jnp.asarray(gray))
         boxes, valid = np.asarray(boxes), np.asarray(valid)
         out = []
-        for b in range(boxes.shape[0]):
+        for b in range(n_real):
             kept = boxes[b][valid[b]] * self.scale_back
             out.append(np.rint(kept).astype(np.int32)
                        if len(kept) else np.zeros((0, 4), np.int32))

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from ..cascade.engine import get_engine
 from ..ops.histogram import equalize_hist
 from ..ops.resize import resize_linear_exact
-from .base import (DetectorConfig, GopScheduler, EventGate, gated_gop_mask,
-                   multi_scale_to_pyramid_factor)
+from .base import (DetectorConfig, GopScheduler, EventGate, bucket_pad,
+                   gated_gop_mask, multi_scale_to_pyramid_factor)
 
 DEFAULT_FACE_CASCADE = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml"
 
@@ -183,7 +183,11 @@ class FaceDetector:
 
         Grouping runs on device (engine.group_device); only the grouped
         [B, K≤64] output crosses to host, keeping the result path
-        O(detections) per frame."""
+        O(detections) per frame. The batch is padded to a power-of-two
+        bucket (base.bucket_pad) so gated/GOP sub-batches reuse compiled
+        program shapes."""
+        gray, n_real = bucket_pad(np.asarray(gray) if np.ndim(gray) != 2
+                                  else np.asarray(gray)[None])
         raw = self._device_detect(gray)
         if self.config.min_neighbors:
             boxes, valid, _, _ = self.engine.group_device(
@@ -192,7 +196,7 @@ class FaceDetector:
             boxes, valid, _ = raw
         boxes, valid = np.asarray(boxes), np.asarray(valid)
         out = []
-        for b in range(boxes.shape[0]):
+        for b in range(n_real):
             grouped = boxes[b][valid[b]]
             out.append(np.rint(grouped * self.scale_back).astype(np.int32)
                        if len(grouped) else np.zeros((0, 4), np.int32))

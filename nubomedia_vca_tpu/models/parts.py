@@ -30,7 +30,8 @@ from ..cascade.engine import get_engine
 from ..ops.histogram import equalize_hist
 from ..ops.resize import resize_linear_exact
 from ..ops.grouping import group_rectangles_np
-from .base import (DetectorConfig, GopScheduler, EventGate, gated_gop_mask,
+from .base import (DetectorConfig, GopScheduler, EventGate, bucket_pad,
+                   gated_gop_mask,
                    multi_scale_to_pyramid_factor)
 from .face import DEFAULT_FACE_CASCADE
 
@@ -217,7 +218,10 @@ class PartDetectorBase:
         results = []
         if not mask.any():
             return [self._idle_result() for _ in range(n)]
-        face_raw, part_raw = self._device_pass(gray[mask])
+        # power-of-two batch bucketing: gated/GOP sub-batches otherwise
+        # compile one deep-pyramid program per distinct size (base.bucket_pad)
+        sub, _ = bucket_pad(gray[mask])
+        face_raw, part_raw = self._device_pass(sub)
         bi = 0
         for i in range(n):
             if not mask[i]:

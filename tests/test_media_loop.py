@@ -93,8 +93,10 @@ def test_media_loop_over_rpc_with_generated_client():
                 s.sendall(frame.tobytes())
             assert _wait(lambda: events), "no onEvent over RPC"
         assert "width" in events[0]["wire"]
+        # stopMedia joins the runner's in-flight step (can be a slow first
+        # compile on a loaded box) — allow it plenty of time
         cli.call("invoke", {"object": pipe.id, "operation": "stopMedia",
-                            "operationParams": {}})
+                            "operationParams": {}}, timeout=600)
         cli.close()
     finally:
         srv.stop()
