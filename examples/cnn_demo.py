@@ -41,7 +41,7 @@ def main():
     if ckpt is None:
         print("no checkpoint found — train one first:\n"
               "  python -m nubomedia_vca_tpu.models.distill "
-              "--out assets/checkpoints/cnn_face_v1.npz")
+              "--out nubomedia_vca_tpu/assets/checkpoints/cnn_face_v1.npz")
         return 1
     print(f"checkpoint: {ckpt}")
 

@@ -198,6 +198,10 @@ def find_checkpoint(name: str = DEFAULT_CHECKPOINT) -> str | None:
     import os
 
     cands = [
+        # bundled with the package (ships in the wheel via package-data)
+        os.path.join(os.path.dirname(__file__), "..", "assets",
+                     "checkpoints", name),
+        # repo-root assets/ (training-output convention)
         os.path.join(os.path.dirname(__file__), "..", "..", "assets",
                      "checkpoints", name),
         name,

@@ -8,7 +8,7 @@ are the TEACHER's boxes, so the student learns to reproduce cascade
 behavior — the "distill from cascade detections" path of SURVEY.md §7.
 
     python -m nubomedia_vca_tpu.models.distill --steps 1500 \
-        --out assets/checkpoints/cnn_face_v1.npz
+        --out nubomedia_vca_tpu/assets/checkpoints/cnn_face_v1.npz
 
 Training runs on whatever backend jax selects (TPU when available); the
 scene generator and teacher labeling run once per epoch-chunk on host.
@@ -193,7 +193,7 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default="assets/checkpoints/cnn_face_v1.npz")
+    ap.add_argument("--out", default="nubomedia_vca_tpu/assets/checkpoints/cnn_face_v1.npz")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--max-seconds", type=float, default=None)
     ns = ap.parse_args(argv)
