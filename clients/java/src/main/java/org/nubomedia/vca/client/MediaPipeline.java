@@ -5,6 +5,10 @@ public class MediaPipeline extends RemoteObject {
     super(client, id);
   }
 
+  public NuboCnnFaceDetector createNuboCnnFaceDetector() {
+    return new NuboCnnFaceDetector(client, client.create("NuboCnnFaceDetector", id));
+  }
+
   public NuboEarDetector createNuboEarDetector() {
     return new NuboEarDetector(client, client.create("NuboEarDetector", id));
   }

@@ -27,6 +27,8 @@ MODULES = {
     "nubonosedetector": ("NuboNoseDetector", "OnNose", "NoseInfo"),
     "nuboeardetector": ("NuboEarDetector", "OnEar", "EarInfo"),
     "nubotracker": ("NuboTracker", "OnTracker", "TrackerInfo"),
+    # extension beyond the reference: the learned detector module
+    "nubocnnfacedetector": ("NuboCnnFaceDetector", "OnFace", "FaceInfo"),
 }
 
 _EXCLUDE = {"process", "render", "addEventListener"}

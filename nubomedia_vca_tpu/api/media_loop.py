@@ -104,7 +104,8 @@ class MediaRunner:
                         el._config, "face_cascade_path"):
                     # part detector: consumes upstream face boxes
                     el.process(frames, face_boxes=face_boxes)
-                elif el.__class__.__name__ == "NuboFaceDetector":
+                elif el.__class__.__name__ in ("NuboFaceDetector",
+                                               "NuboCnnFaceDetector"):
                     res = el.process(frames, stream=stream)
                     face_boxes = [
                         np.array([f.rect() for f in faces])

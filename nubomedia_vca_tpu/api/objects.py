@@ -330,3 +330,54 @@ class NuboTracker(_FilterObject):
         for blobs in res:
             self._emit([("tracker", b) for b in blobs])
         return res
+
+
+@dataclasses.dataclass
+class CnnDetectorConfig:
+    """Knobs for the learned detector object (no reference analog — the
+    reference ships only fixed cascades; this extends the module family)."""
+
+    threshold: float = 0.5       # objectness threshold
+    quantized: int = 0           # 1 → int8 serving path (models/quant.py)
+    view: int = 1
+    activate_events: int = 0
+    events_ms: int = 30001
+
+
+class NuboCnnFaceDetector(_FilterObject):
+    """The trained CNN face detector as a remote object: same OnFace event
+    surface as NuboFaceDetector, learned device path (models/cnn.py), with
+    an optional int8 serving mode."""
+
+    EVENT_NAME = "OnFace"
+    INFO_NAME = "face"
+
+    def __init__(self, mediaPipeline):
+        self._config = CnnDetectorConfig()
+        self._overlay = None
+        super().__init__(mediaPipeline)
+
+    def _build_model(self):
+        from ..models.cnn import CnnFaceDetector
+        from ..models.quant import QuantizedCnnFaceDetector
+
+        cls = (QuantizedCnnFaceDetector if self._config.quantized
+               else CnnFaceDetector)
+        return cls(self.pipeline.frame_size,
+                   threshold=self._config.threshold)
+
+    def showFaces(self, viewFaces: int):
+        self._set(view=int(viewFaces))
+
+    def setThreshold(self, threshold: float):
+        self._set(threshold=float(threshold))
+
+    def setQuantized(self, quantized: int):
+        self._set(quantized=int(quantized))
+
+    def process(self, frames, stream: int = 0):
+        model = self._ensure_model()
+        res = model.process(frames, stream=stream)
+        for faces in res:
+            self._emit([("face", f.rect()) for f in faces])
+        return res

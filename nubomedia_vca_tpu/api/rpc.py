@@ -42,6 +42,7 @@ CREATABLE = {
     "NuboNoseDetector": obj_mod.NuboNoseDetector,
     "NuboEarDetector": obj_mod.NuboEarDetector,
     "NuboTracker": obj_mod.NuboTracker,
+    "NuboCnnFaceDetector": obj_mod.NuboCnnFaceDetector,
 }
 
 

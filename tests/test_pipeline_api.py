@@ -285,3 +285,30 @@ def test_overlay_http_fetch_hook():
                              fetch=fake_fetch)
     assert calls == ["http://cdn.example/costume.png"]
     assert img.shape == (8, 8, 4) and img[0, 0, 3] == 255
+
+
+def test_cnn_remote_object():
+    """The learned-detector module as a remote object: exact Kurento shape
+    (create → knobs → process → OnFace payload), f32 and int8 modes."""
+    from nubomedia_vca_tpu.api.objects import (
+        MediaPipeline, NuboCnnFaceDetector)
+    from nubomedia_vca_tpu.models import distill
+
+    rng = np.random.RandomState(5)
+    scenes = np.stack([distill.make_scene(rng) for _ in range(4)])
+
+    pipe = MediaPipeline((distill.W, distill.H))
+    det = NuboCnnFaceDetector(pipe)
+    det.activateServerEvents(1, 1)
+    det.setThreshold(0.5)
+    got = []
+    det.addEventListener("OnFace", got.append)
+    res = det.process(scenes)
+    assert len(res) == 4
+    total = sum(len(r) for r in res)
+    assert total >= 1      # the scenes contain drawn faces
+    assert got and got[0]["type"] == "OnFace" and "wire" in got[0]
+
+    det.setQuantized(1)    # int8 serving mode rebuilds the model
+    res8 = det.process(scenes)
+    assert len(res8) == 4 and sum(len(r) for r in res8) >= 1
