@@ -25,9 +25,7 @@ import numpy as np
 
 def _read_frames(ns):
     if ns.synthetic:
-        sys.path.insert(0, "tests")
         if ns.filter == "tracker":
-            from .models.distill import make_scene  # noqa: F401
             # moving blob clip for motion tracking
             H, W = 240, 320
             frames = []
