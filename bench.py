@@ -130,25 +130,38 @@ def phase_raw(B):
 def phase_grouped(B):
     engine, work_h, frames, _ = _setup(B)
     _, step_grouped = _steps(engine, work_h)
-    fps = _throughput(step_grouped, frames, B)
-    # roofline estimate at the headline rate, from actual access patterns:
-    # the 8x bilinear downsample reads only 2 source rows per output row;
-    # per level the work image is re-read (2 rows/output row), the level
-    # image written+read, one int32 integral table written+read (the fused
-    # dense kernel keeps the squared table in VMEM), and the dense outputs
+    # roofline estimate from actual access patterns: the 8x bilinear
+    # downsample reads only 2 source rows per output row; per level the
+    # work image is re-read (2 rows/output row), the level image
+    # written+read, one int32 integral table written+read (the fused dense
+    # kernel keeps the squared table in VMEM), and the dense outputs
     # (~5 B/window) written+read.
-    work_h2 = work_h
-    bytes_per_frame = 2 * work_h2 * W + WORK_W * work_h2
+    bytes_per_frame = 2 * work_h * W + WORK_W * work_h
     for lvl in engine.levels:
         img_b = lvl.sw * lvl.sh
         tab_b = 4 * (lvl.sw + 1) * (lvl.sh + 1)
         bytes_per_frame += (2 * lvl.sh * WORK_W + 2 * img_b + 2 * tab_b
                             + 2 * 5 * lvl.n_windows)
-    gbps = fps * bytes_per_frame / 1e9
+    # mechanical self-guard (BASELINE.md:26-28 promoted into the
+    # measurement): the tunnel's deferred-execution enqueue rate can outrun
+    # the device, so any sample implying >1.1x nominal peak HBM traffic is
+    # not a defensible device-throughput figure. Take several samples, keep
+    # them all in the JSON, and cap the headline at the roofline bound.
+    roofline_fps = 1.1 * V5E_PEAK_GBPS * 1e9 / bytes_per_frame
+    samples = [_throughput(step_grouped, frames, B) for _ in range(3)]
+    fps = min(samples)          # conservative representative sample
+    capped = fps > roofline_fps
+    headline = min(fps, roofline_fps)
+    gbps = headline * bytes_per_frame / 1e9
     _emit("hbm_gbps_est", round(gbps, 1), "GB/s",
           round(gbps / V5E_PEAK_GBPS, 3))
-    _emit("face_detect_720p_fps_per_chip", round(fps, 1), "frames/s",
-          round(fps / 1000.0, 3))
+    print(json.dumps({
+        "metric": "face_detect_720p_fps_per_chip_samples",
+        "value": [round(s, 1) for s in samples], "unit": "frames/s",
+        "roofline_fps": round(roofline_fps, 1),
+        "roofline_capped": capped}), flush=True)
+    _emit("face_detect_720p_fps_per_chip", round(headline, 1), "frames/s",
+          round(headline / 1000.0, 3))
 
 
 def phase_latency(B):

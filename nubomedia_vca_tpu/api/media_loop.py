@@ -6,9 +6,22 @@ see frames because they sit in the media graph. Here the equivalent wiring
 is: a `MediaRunner` owns a frame ingest (with the raw-video TCP listener —
 feed it from ``gst-launch … ! tcpclientsink`` or ``ffmpeg -f rawvideo
 tcp://…``) and drives the pipeline's created elements in registration
-order, chaining face boxes into event-gated part detectors exactly like
-the GstEvent flow (SURVEY.md §2.4.8), while each element emits its
-rate-limited server events to RPC subscribers.
+order, chaining detections exactly like the GstEvent flow (SURVEY.md
+§2.4.8): tracker motion events refuel face-detector gates
+(kmsfacedetect.cpp:698-707), face boxes feed event-gated part detectors
+(kmseyedetect.cpp:680-724), and each element emits its rate-limited server
+events to RPC subscribers.
+
+Media-plane output (the reference's primary product — the annotated frame
+continues downstream in place, kmsfacedetect.cpp:857-898, into
+autovideosink via run_plugin.sh:3): with ``output`` enabled, every element
+with its view knob on draws its detections on-device
+(`_FilterObject.render` — rectangles/circles/costume overlay honoring
+showFaces/visual_mode/setOverlayedImage) and the annotated GRAY8 frames are
+written back on each stream's own TCP connection, so
+``gst-launch … tcpclientsink`` → detect → read-back → ``autovideosink``
+reproduces the run_plugin.sh experience live. Keep the connection open
+while reading back; output frames are W*H GRAY8 in input order.
 
 Apps never import this module: `MediaPipeline.listen()` (an RPC-invokable
 method) lazily starts the runner and returns the bound TCP port.
@@ -54,20 +67,63 @@ class MediaRunner:
         self._stop = threading.Event()
         self._thread = None
         self.port = None
+        self.output = False
         self.frames_processed = 0
+        self.frames_sent = 0
+        self.on_annotated = None   # callback(frames [B,H,W], stream) hook
         _RUNNERS.add(self)
 
     # -- lifecycle ----------------------------------------------------------
-    def listen(self, port: int = 0, channels: int = 1) -> int:
+    def listen(self, port: int = 0, channels: int = 1, output: bool = False,
+               downscale: bool = False) -> int:
+        """Open the raw-video TCP port. output=True turns on the
+        media-plane return path (annotated GRAY8 frames written back per
+        connection). downscale=True downscales frames to the elements'
+        common working resolution at ingest (full-resolution frames never
+        cross host→device) — mutually exclusive with output, which needs
+        full frames to draw on."""
+        if output and downscale:
+            raise ValueError("output rendering needs full-resolution "
+                             "frames; downscale must stay off")
+        self.output = bool(output)
+        if downscale:
+            self.enable_ingest_downscale()
         self.port = self.ingest.listen(port, channels)
-        if self._thread is None:
-            self._thread = threading.Thread(target=self._loop, daemon=True)
-            self._thread.start()
+        self._start()
         return self.port
+
+    def enable_ingest_downscale(self) -> None:
+        """Downscale to the working resolution at ingest (bit-exact
+        INTER_LINEAR_EXACT, the same table-driven scheme as ops/resize.py,
+        so the device resize becomes an identity and results are unchanged)
+        — only valid when every element detects at ONE resolution (face /
+        CNN detectors; part detectors need two, the tracker needs full
+        frames)."""
+        res = self._common_work_resolution()
+        if res is None:
+            raise ValueError(
+                "ingest downscale needs every element to share one working "
+                "resolution (face/CNN detectors only)")
+        self.ingest.set_work(*res)
+
+    def _common_work_resolution(self):
+        res = set()
+        for el in self.pipeline.elements:
+            model = el._ensure_model()
+            if hasattr(model, "work_w"):            # FaceDetector
+                res.add((model.work_w, model.work_h))
+            elif hasattr(model, "WORK_W"):          # CnnFaceDetector
+                res.add((model.WORK_W, model.WORK_H))
+            else:                                   # parts / tracker
+                return None
+        return res.pop() if len(res) == 1 else None
 
     def push(self, frame, pts: int = 0, stream: int = 0) -> None:
         """Direct in-process feed (tests / co-located apps)."""
         self.ingest.push(stream, frame, pts)
+        self._start()
+
+    def _start(self) -> None:
         if self._thread is None:
             self._thread = threading.Thread(target=self._loop, daemon=True)
             self._thread.start()
@@ -88,14 +144,20 @@ class MediaRunner:
 
     # -- the loop -----------------------------------------------------------
     def _step(self, frames, stream: int = 0) -> None:
-        """Run every element of the pipeline over one frame batch, chaining
-        face boxes into the part detectors (GstEvent-flow analog).
+        """Run every element of the pipeline over one frame batch with the
+        reference's chaining semantics, then (output mode) render + return
+        annotated frames.
 
-        `stream` keys the face elements' per-stream track state; part
-        detectors and the motion tracker keep single-stream temporal state
-        (the reference's model is one pipeline per stream — create one
-        MediaPipeline per stream for exact part/tracker semantics)."""
+        Chain state — all keyed per stream inside the models, so any number
+        of TCP connections share one element set without corrupting each
+        other's temporal state:
+          tracker blobs   → motion events refueling downstream face gates
+                            (kmsfacedetect.cpp:698-707);
+          face boxes      → part-detector ROI supply (GstEvent analog,
+                            kmseyedetect.cpp:680-724)."""
         face_boxes = None
+        motion_events = None
+        rendered: list = []
         for el in list(self.pipeline.elements):
             if self._stop.is_set():
                 return
@@ -103,21 +165,52 @@ class MediaRunner:
                 if hasattr(el, "_config") and hasattr(
                         el._config, "face_cascade_path"):
                     # part detector: consumes upstream face boxes
-                    el.process(frames, face_boxes=face_boxes)
+                    res = el.process(frames, face_boxes=face_boxes,
+                                     stream=stream)
                 elif el.__class__.__name__ in ("NuboFaceDetector",
                                                "NuboCnnFaceDetector"):
-                    res = el.process(frames, stream=stream)
+                    res = el.process(frames, stream=stream,
+                                     events=motion_events)
                     face_boxes = [
                         np.array([f.rect() for f in faces])
                         if faces else None
                         for faces in res
                     ]
+                elif el.__class__.__name__ == "NuboTracker":
+                    res = el.process(frames, stream=stream)
+                    motion_events = [blobs if blobs else None
+                                     for blobs in res]
                 else:
-                    el.process(frames)
+                    res = el.process(frames)
+                rendered.append((el, res))
             except Exception:  # noqa: BLE001 — one element must not kill
                 import traceback
                 traceback.print_exc()
         self.frames_processed += len(frames)
+        if self.output or self.on_annotated is not None:
+            self._emit_annotated(frames, rendered, stream)
+
+    def _emit_annotated(self, frames, rendered, stream: int) -> None:
+        """Draw every view-enabled element's detections in registration
+        order (each reference element draws in place as the frame passes
+        through it) and return the GRAY8 result to the stream."""
+        out = frames
+        for el, res in rendered:
+            try:
+                out = np.asarray(el.render(out, res))
+            except Exception:  # noqa: BLE001
+                import traceback
+                traceback.print_exc()
+        if out.ndim == 4:      # costume overlay upgraded to BGR; back to Y
+            import jax.numpy as jnp
+            from ..ops.color import bgr_to_gray
+            out = np.asarray(bgr_to_gray(jnp.asarray(out)))
+        if self.on_annotated is not None:
+            self.on_annotated(out, stream)
+        if self.output and hasattr(self.ingest, "send"):
+            for fr in out:
+                if self.ingest.send(stream, fr):
+                    self.frames_sent += 1
 
     def _loop(self) -> None:
         import time
@@ -129,6 +222,6 @@ class MediaRunner:
                 time.sleep(0.005)
                 continue
             # frames arrive interleaved across TCP connections; process
-            # per-stream so track IDs never cross streams
+            # per-stream so temporal state never crosses streams
             for s in np.unique(streams):
                 self._step(frames[streams == s], stream=int(s))

@@ -52,14 +52,23 @@ class MediaPipeline:
         return el
 
     # --- media loop (RPC-invokable) ----------------------------------------
-    def listen(self, port: int = 0, channels: int = 1) -> int:
+    def listen(self, port: int = 0, channels: int = 1, output: int = 0,
+               downscale: int = 0) -> int:
         """Start the media loop and open its raw-video TCP port (the
         WebRTC/RTP-decode stand-in; see api/media_loop.py). Returns the
-        bound port; push W*H(*channels) bytes per frame per connection."""
+        bound port; push W*H(*channels) bytes per frame per connection.
+
+        output=1: annotated GRAY8 frames are written back on each stream's
+        connection (the reference's annotated-stream product).
+        downscale=1: frames are downscaled to the elements' working
+        resolution at ingest (H2D traffic cut ~(W/work_w)^2×; requires all
+        elements to share one working resolution, excludes output=1)."""
         from .media_loop import MediaRunner
         if self._runner is None:
             self._runner = MediaRunner(self)
-        return self._runner.listen(int(port), int(channels))
+        return self._runner.listen(int(port), int(channels),
+                                   output=bool(int(output)),
+                                   downscale=bool(int(downscale)))
 
     def pushFrame(self, frame, pts: int = 0, stream: int = 0):
         """In-process frame feed into the media loop (tests / co-located
@@ -103,10 +112,20 @@ class _FilterObject:
         self._dirty = True
 
     def _ensure_model(self):
-        if self._dirty or self._model is None:
+        """Build on first use; afterwards apply config deltas to the LIVE
+        model via its reconfigure() — mid-stream RPC setters preserve track
+        IDs / temporal merges / MHI state, matching the reference's
+        g_object_set on a running element (kmsfacedetect.cpp:504-582)."""
+        if self._model is None:
             self._model = self._build_model()
             self._dirty = False
+        elif self._dirty:
+            self._reconfigure_model()
+            self._dirty = False
         return self._model
+
+    def _reconfigure_model(self):
+        self._model.reconfigure(self._config)
 
     # --- kmd methods common to all detector modules -----------------------
     def detectByEvent(self, event: int):
@@ -167,11 +186,14 @@ class _FilterObject:
                     for f in result]
         return []
 
+    def _view_enabled(self) -> bool:
+        return bool(getattr(self._config, "view", 1))
+
     def render(self, frames, results, fetch=None):
         """Draw detections (and the costume overlay, when set) onto frames —
         the reference's in-place view path, as a pure device op."""
         from .render import render_detections, load_overlay_image
-        if not getattr(self._config, "view", 1):
+        if not self._view_enabled():
             return frames
         overlay = None
         if getattr(self, "_overlay", None) is not None:
@@ -209,18 +231,18 @@ class NuboFaceDetector(_FilterObject):
     def areaThreshold(self, threshold: int):
         self._set(area_threshold=int(threshold))
 
-    def process(self, frames, stream: int = 0):
+    def process(self, frames, stream: int = 0, events=None):
         model = self._ensure_model()
-        res = model.process(frames, stream=stream)
+        res = model.process(frames, stream=stream, events=events)
         for faces in res:
             self._emit([("face", f.rect()) for f in faces])
         return res
 
 
 class _PartObject(_FilterObject):
-    def process(self, frames, face_boxes=None):
+    def process(self, frames, face_boxes=None, stream: int = 0):
         model = self._ensure_model()
-        res = model.process(frames, face_boxes=face_boxes)
+        res = model.process(frames, face_boxes=face_boxes, stream=stream)
         for frame_res in res:
             self._emit([(k, r) for k, rects in frame_res.items()
                         for r in rects])
@@ -304,6 +326,11 @@ class NuboTracker(_FilterObject):
     def _build_model(self):
         return Tracker(self.pipeline.frame_size, self._config)
 
+    def _view_enabled(self) -> bool:
+        """Reference parity: blobs are drawn only when visual_mode > 0
+        (default 0, gstnubotracker.cpp:383-390)."""
+        return self._config.visual_mode > 0
+
     # tracker kmd methods (nubotracker.NuboTracker.kmd.json)
     def setThreshold(self, threshold: int):
         self._set(threshold=int(threshold))
@@ -324,9 +351,9 @@ class NuboTracker(_FilterObject):
         self._set(activate_events=int(activate), events_ms=int(time))
         self._rate = EventRateLimiter(int(time))
 
-    def process(self, frames):
+    def process(self, frames, stream: int = 0):
         model = self._ensure_model()
-        res = model.process(frames)
+        res = model.process(frames, stream=stream)
         for blobs in res:
             self._emit([("tracker", b) for b in blobs])
         return res
@@ -366,6 +393,19 @@ class NuboCnnFaceDetector(_FilterObject):
         return cls(self.pipeline.frame_size,
                    threshold=self._config.threshold)
 
+    def _reconfigure_model(self):
+        from ..models.quant import QuantizedCnnFaceDetector
+
+        want_quant = bool(self._config.quantized)
+        if want_quant != isinstance(self._model, QuantizedCnnFaceDetector):
+            # int8 ⇄ f32 swaps the device program class; temporal track
+            # state carries over to the new model
+            tracks = self._model.tracks
+            self._model = self._build_model()
+            self._model.tracks = tracks
+        else:
+            self._model.reconfigure(threshold=self._config.threshold)
+
     def showFaces(self, viewFaces: int):
         self._set(view=int(viewFaces))
 
@@ -375,9 +415,9 @@ class NuboCnnFaceDetector(_FilterObject):
     def setQuantized(self, quantized: int):
         self._set(quantized=int(quantized))
 
-    def process(self, frames, stream: int = 0):
+    def process(self, frames, stream: int = 0, events=None):
         model = self._ensure_model()
-        res = model.process(frames, stream=stream)
+        res = model.process(frames, stream=stream, events=events)
         for faces in res:
             self._emit([("face", f.rect()) for f in faces])
         return res

@@ -1,16 +1,26 @@
-// vca_ingest — native multi-stream frame ingest / batching feeder.
+// vca_ingest — native multi-stream frame ingest / batching feeder, with a
+// media-plane return path.
 //
 // The reference's ingest is GStreamer: one streaming thread per filter maps
-// each GstBuffer and processes it in place (kmsfacedetect.cpp:282-306). The
-// TPU-native equivalent must instead keep a device fed with *batches* of
-// frames from many streams (SURVEY.md §7 "host↔device streaming"). This
-// library is that feeder's native core:
+// each GstBuffer, processes it in place, and the (annotated) frame continues
+// downstream (kmsfacedetect.cpp:282-306,857-898). The TPU-native equivalent
+// must instead keep a device fed with *batches* of frames from many streams
+// (SURVEY.md §7 "host↔device streaming") and return annotated frames to each
+// stream. This library is that feeder's native core:
 //
 //   * producers (one per stream, any thread) push BGR/BGRA/I420 frames;
 //     colorspace→gray happens at push time in native code (bit-exact Q15
-//     BGR→gray, matching ops/color.py);
+//     BGR→gray, matching ops/color.py); optionally the frame is ALSO
+//     downscaled at push to the detection working resolution (bit-exact
+//     INTER_LINEAR_EXACT, matching ops/resize.py) so only ~work_w×work_h
+//     luma ever crosses host→device — the reference also downscales on the
+//     CPU before detecting (kmsfacedetect.cpp:805);
 //   * a consumer drains ready frames into one contiguous [B,H,W] uint8
-//     slab (plus pts + stream ids) sized for direct device transfer.
+//     slab (plus pts + stream ids) sized for direct device transfer;
+//   * annotated output frames are sent back over each stream's own TCP
+//     connection (vca_ingest_send) — the media-plane product the reference
+//     delivers by mutating the frame in place and letting it continue to
+//     autovideosink (run_plugin.sh:3).
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 dependency).
 //
@@ -23,13 +33,19 @@
 // or  ffmpeg -i src -f rawvideo -pix_fmt gray tcp://host:port
 // replacing the reference's in-process GStreamer element attachment
 // (run_plugin.sh pipelines) with a wire boundary any media stack can feed.
+// Connections are full-duplex: annotated GRAY8 frames queued with
+// vca_ingest_send() are written back on the same socket.
 
 #include <atomic>
+#include <cfenv>
 #include <chrono>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <condition_variable>
 #include <deque>
+#include <map>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -47,12 +63,58 @@ struct Slot {
   int32_t stream;
 };
 
+// One full-duplex TCP connection (= one stream). The reader thread owns the
+// fd lifecycle: it joins the writer before closing, so the fd is closed
+// exactly once and never while the writer still uses it.
+struct Conn {
+  int fd = -1;
+  std::deque<std::vector<uint8_t>> outq;
+  std::mutex mu;
+  std::condition_variable cv;
+  bool closed = false;
+};
+
+// Bilinear INTER_LINEAR_EXACT tables — the same fixed-point scheme as
+// ops/resize.py (verified bit-exact vs OpenCV 4.6): Q8 horizontal, Q16
+// vertical, (v + 2^15) >> 16 final rounding; frac clamped to 0 when sx < 0;
+// coefficients rounded half-to-even (nearbyint in the default FE_TONEAREST
+// mode, matching numpy.round).
+struct LinTab {
+  std::vector<int32_t> s0, s1, c0, c1;
+};
+
+LinTab make_lin_tab(int src, int dst) {
+  LinTab t;
+  t.s0.resize(dst);
+  t.s1.resize(dst);
+  t.c0.resize(dst);
+  t.c1.resize(dst);
+  for (int x = 0; x < dst; x++) {
+    double fx = ((2.0 * x + 1.0) * src - dst) / (2.0 * dst);
+    double sx = std::floor(fx);
+    double frac = sx < 0 ? 0.0 : fx - sx;
+    int s0 = static_cast<int>(sx);
+    if (s0 < 0) s0 = 0;
+    if (s0 > src - 1) s0 = src - 1;
+    int s1 = s0 + 1 > src - 1 ? src - 1 : s0 + 1;
+    int c1 = static_cast<int>(std::nearbyint(frac * 256.0));
+    t.s0[x] = s0;
+    t.s1[x] = s1;
+    t.c1[x] = c1;
+    t.c0[x] = 256 - c1;
+  }
+  return t;
+}
+
 struct Ingest {
   int width, height, capacity;
+  // optional downscale-at-push target (0 = off); when set, collect()
+  // yields [B, work_h, work_w] and only that much luma crosses H2D
+  int work_w = 0, work_h = 0;
+  LinTab tab_x, tab_y;
   std::mutex mu;
   std::condition_variable cv;
   std::deque<Slot> ready;
-  std::vector<Slot> pool;
   int64_t dropped = 0;
   // live TCP listener state
   int listen_fd = -1;
@@ -61,13 +123,37 @@ struct Ingest {
   std::atomic<int32_t> next_stream{0};
   std::thread accept_thread;
   std::mutex conn_mu;
-  std::vector<std::thread> conn_threads;
+  std::vector<std::thread> conn_threads;           // reader threads
+  std::map<int32_t, std::shared_ptr<Conn>> conns;  // stream -> connection
 };
 
 inline uint8_t bgr2gray(uint8_t b, uint8_t g, uint8_t r) {
   // bit-exact OpenCV Q15: (9798 R + 19235 G + 3735 B + 2^14) >> 15
   return static_cast<uint8_t>(
       (9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15);
+}
+
+// gray [sh, sw] -> out [dh, dw], bit-exact with ops/resize.py.
+void resize_linear_exact(const uint8_t* src, int sw, int sh, uint8_t* out,
+                         const LinTab& tx, const LinTab& ty, int dw, int dh) {
+  // horizontal pass in Q8 into a [sh, dw] int32 buffer
+  std::vector<int32_t> h(static_cast<size_t>(sh) * dw);
+  for (int y = 0; y < sh; y++) {
+    const uint8_t* row = src + static_cast<size_t>(y) * sw;
+    int32_t* hrow = h.data() + static_cast<size_t>(y) * dw;
+    for (int x = 0; x < dw; x++)
+      hrow[x] = row[tx.s0[x]] * tx.c0[x] + row[tx.s1[x]] * tx.c1[x];
+  }
+  // vertical pass in Q16, round, clip
+  for (int y = 0; y < dh; y++) {
+    const int32_t* r0 = h.data() + static_cast<size_t>(ty.s0[y]) * dw;
+    const int32_t* r1 = h.data() + static_cast<size_t>(ty.s1[y]) * dw;
+    uint8_t* orow = out + static_cast<size_t>(y) * dw;
+    for (int x = 0; x < dw; x++) {
+      int32_t v = (r0[x] * ty.c0[y] + r1[x] * ty.c1[y] + (1 << 15)) >> 16;
+      orow[x] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+  }
 }
 
 }  // namespace
@@ -82,6 +168,23 @@ void* vca_ingest_create(int width, int height, int capacity) {
   return h;
 }
 
+// Enable downscale-at-push to (work_w, work_h); pass 0,0 to disable.
+// Call before pushing; collect() buffers must then be [B, work_h, work_w].
+void vca_ingest_set_work(void* p, int work_w, int work_h) {
+  auto* h = static_cast<Ingest*>(p);
+  std::lock_guard<std::mutex> lk(h->mu);
+  if (work_w > 0 && work_h > 0 &&
+      (work_w != h->width || work_h != h->height)) {
+    h->work_w = work_w;
+    h->work_h = work_h;
+    h->tab_x = make_lin_tab(h->width, work_w);
+    h->tab_y = make_lin_tab(h->height, work_h);
+  } else {
+    h->work_w = h->work_h = 0;
+  }
+  h->ready.clear();  // queued frames have the old shape
+}
+
 void vca_ingest_stop_listen(void* p) {
   auto* h = static_cast<Ingest*>(p);
   h->stop = true;
@@ -91,13 +194,21 @@ void vca_ingest_stop_listen(void* p) {
     h->listen_fd = -1;
   }
   if (h->accept_thread.joinable()) h->accept_thread.join();
-  std::vector<std::thread> conns;
+  std::vector<std::thread> readers;
   {
     std::lock_guard<std::mutex> lk(h->conn_mu);
-    conns.swap(h->conn_threads);
+    readers.swap(h->conn_threads);
+    // unblock every reader (recv) and writer (cv wait)
+    for (auto& kv : h->conns) {
+      std::lock_guard<std::mutex> clk(kv.second->mu);
+      if (kv.second->fd >= 0) ::shutdown(kv.second->fd, SHUT_RDWR);
+      kv.second->cv.notify_all();
+    }
   }
-  for (auto& t : conns)
+  for (auto& t : readers)
     if (t.joinable()) t.join();
+  std::lock_guard<std::mutex> lk(h->conn_mu);
+  h->conns.clear();
 }
 
 void vca_ingest_destroy(void* p) {
@@ -115,14 +226,11 @@ int64_t vca_ingest_dropped(void* p) {
 int vca_ingest_push(void* p, int stream, const uint8_t* data, int stride,
                     int channels, int64_t pts) {
   auto* h = static_cast<Ingest*>(p);
-  Slot s;
-  s.gray.resize(static_cast<size_t>(h->width) * h->height);
-  s.pts = pts;
-  s.stream = stream;
   const int w = h->width, ht = h->height;
+  std::vector<uint8_t> gray(static_cast<size_t>(w) * ht);
   for (int y = 0; y < ht; y++) {
     const uint8_t* row = data + static_cast<size_t>(y) * stride;
-    uint8_t* out = s.gray.data() + static_cast<size_t>(y) * w;
+    uint8_t* out = gray.data() + static_cast<size_t>(y) * w;
     if (channels == 1) {
       std::memcpy(out, row, w);
     } else if (channels == 3) {
@@ -134,6 +242,22 @@ int vca_ingest_push(void* p, int stream, const uint8_t* data, int stride,
     } else {
       return -1;
     }
+  }
+  Slot s;
+  s.pts = pts;
+  s.stream = stream;
+  int ww, wh;
+  {
+    std::lock_guard<std::mutex> lk(h->mu);
+    ww = h->work_w;
+    wh = h->work_h;
+  }
+  if (ww > 0) {
+    s.gray.resize(static_cast<size_t>(ww) * wh);
+    resize_linear_exact(gray.data(), w, ht, s.gray.data(), h->tab_x,
+                        h->tab_y, ww, wh);
+  } else {
+    s.gray = std::move(gray);
   }
   {
     std::lock_guard<std::mutex> lk(h->mu);
@@ -147,8 +271,9 @@ int vca_ingest_push(void* p, int stream, const uint8_t* data, int stride,
   return 0;
 }
 
-// Drain up to max_frames into out[B,H,W]; returns the number collected.
-// wait_ms < 0: block until at least min_frames are available.
+// Drain up to max_frames into out[B,H,W] (work-resolution when set);
+// returns the number collected. wait_ms < 0: block until at least
+// min_frames are available.
 int vca_ingest_collect(void* p, uint8_t* out, int64_t* pts_out,
                        int32_t* stream_out, int max_frames, int min_frames,
                        int wait_ms) {
@@ -162,7 +287,9 @@ int vca_ingest_collect(void* p, uint8_t* out, int64_t* pts_out,
   } else if (wait_ms > 0 && !have()) {
     h->cv.wait_for(lk, std::chrono::milliseconds(wait_ms), have);
   }
-  const size_t frame_sz = static_cast<size_t>(h->width) * h->height;
+  const size_t frame_sz =
+      h->work_w > 0 ? static_cast<size_t>(h->work_w) * h->work_h
+                    : static_cast<size_t>(h->width) * h->height;
   int n = 0;
   while (n < max_frames && !h->ready.empty()) {
     Slot& s = h->ready.front();
@@ -179,6 +306,25 @@ int vca_ingest_pending(void* p) {
   auto* h = static_cast<Ingest*>(p);
   std::lock_guard<std::mutex> lk(h->mu);
   return static_cast<int>(h->ready.size());
+}
+
+// Queue nbytes of annotated frame data for write-back on `stream`'s TCP
+// connection (the media-plane output). Returns 0 if queued, -1 when the
+// stream has no live connection (in-process pushes, or already closed).
+int vca_ingest_send(void* p, int stream, const uint8_t* data, int nbytes) {
+  auto* h = static_cast<Ingest*>(p);
+  std::shared_ptr<Conn> c;
+  {
+    std::lock_guard<std::mutex> lk(h->conn_mu);
+    auto it = h->conns.find(stream);
+    if (it == h->conns.end()) return -1;
+    c = it->second;
+  }
+  std::lock_guard<std::mutex> clk(c->mu);
+  if (c->closed || c->fd < 0) return -1;
+  c->outq.emplace_back(data, data + nbytes);
+  c->cv.notify_all();
+  return 0;
 }
 
 // Accept raw-video TCP connections on `port` (0 = ephemeral); each
@@ -212,8 +358,39 @@ int vca_ingest_listen(void* p, int port, int channels) {
       int cfd = ::accept(h->listen_fd, nullptr, nullptr);
       if (cfd < 0) break;
       int32_t stream = h->next_stream++;
+      auto conn = std::make_shared<Conn>();
+      conn->fd = cfd;
       std::lock_guard<std::mutex> lk(h->conn_mu);
-      h->conn_threads.emplace_back([h, cfd, stream] {
+      h->conns[stream] = conn;
+      h->conn_threads.emplace_back([h, conn, stream] {
+        // writer: drains the output queue onto the socket
+        std::thread writer([h, conn] {
+          std::unique_lock<std::mutex> lk(conn->mu);
+          while (true) {
+            conn->cv.wait(lk, [&] {
+              return !conn->outq.empty() || conn->closed || h->stop;
+            });
+            if (conn->outq.empty() && (conn->closed || h->stop)) return;
+            if (conn->outq.empty()) continue;
+            std::vector<uint8_t> buf = std::move(conn->outq.front());
+            conn->outq.pop_front();
+            int fd = conn->fd;
+            lk.unlock();
+            size_t sent = 0;
+            while (sent < buf.size()) {
+              ssize_t n = ::send(fd, buf.data() + sent, buf.size() - sent,
+                                 MSG_NOSIGNAL);
+              if (n <= 0) {
+                lk.lock();
+                conn->closed = true;
+                return;
+              }
+              sent += static_cast<size_t>(n);
+            }
+            lk.lock();
+          }
+        });
+        // reader: fixed-size frames -> push
         const size_t frame_bytes = static_cast<size_t>(h->width) * h->height *
                                    h->listen_channels;
         std::vector<uint8_t> buf(frame_bytes);
@@ -221,7 +398,8 @@ int vca_ingest_listen(void* p, int port, int channels) {
         while (!h->stop) {
           size_t got = 0;
           while (got < frame_bytes) {
-            ssize_t n = ::recv(cfd, buf.data() + got, frame_bytes - got, 0);
+            ssize_t n = ::recv(conn->fd, buf.data() + got,
+                               frame_bytes - got, 0);
             if (n <= 0) goto done;
             got += static_cast<size_t>(n);
           }
@@ -230,7 +408,19 @@ int vca_ingest_listen(void* p, int port, int channels) {
                           pts++);
         }
       done:
-        ::close(cfd);
+        {
+          std::lock_guard<std::mutex> clk(conn->mu);
+          conn->closed = true;
+          conn->cv.notify_all();
+        }
+        writer.join();
+        {
+          std::lock_guard<std::mutex> clk(conn->mu);
+          ::close(conn->fd);
+          conn->fd = -1;
+        }
+        std::lock_guard<std::mutex> lk2(h->conn_mu);
+        h->conns.erase(stream);
       });
     }
   });

@@ -47,6 +47,11 @@ def _load():
     lib.vca_ingest_listen.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                       ctypes.c_int]
     lib.vca_ingest_stop_listen.argtypes = [ctypes.c_void_p]
+    lib.vca_ingest_set_work.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int]
+    lib.vca_ingest_send.restype = ctypes.c_int
+    lib.vca_ingest_send.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_void_p, ctypes.c_int]
     return lib
 
 
@@ -58,9 +63,29 @@ class NativeIngest:
 
     def __init__(self, width: int, height: int, capacity: int = 256):
         self.w, self.h = width, height
+        self.out_w, self.out_h = width, height   # collect() frame shape
         if _LIB is None:
             raise RuntimeError("native ingest library unavailable")
         self._h = _LIB.vca_ingest_create(width, height, capacity)
+
+    def set_work(self, work_w: int = 0, work_h: int = 0) -> None:
+        """Enable bit-exact INTER_LINEAR_EXACT downscale at push time:
+        collect() then yields [B, work_h, work_w] — only working-resolution
+        luma crosses host→device (the reference also downscales on the CPU
+        before detecting, kmsfacedetect.cpp:805). Pass 0,0 to disable."""
+        _LIB.vca_ingest_set_work(self._h, work_w, work_h)
+        if work_w and work_h and (work_w, work_h) != (self.w, self.h):
+            self.out_w, self.out_h = work_w, work_h
+        else:
+            self.out_w, self.out_h = self.w, self.h
+
+    def send(self, stream: int, data) -> bool:
+        """Queue annotated frame bytes for write-back on the stream's TCP
+        connection (media-plane output). False when the stream has no live
+        connection (in-process pushes)."""
+        buf = np.ascontiguousarray(data, np.uint8)
+        rc = _LIB.vca_ingest_send(self._h, stream, buf.ctypes.data, buf.size)
+        return rc == 0
 
     def push(self, stream: int, frame: np.ndarray, pts: int = 0) -> None:
         frame = np.ascontiguousarray(frame, np.uint8)
@@ -73,7 +98,7 @@ class NativeIngest:
 
     def collect(self, max_frames: int, min_frames: int = 1,
                 wait_ms: int = 0):
-        out = np.empty((max_frames, self.h, self.w), np.uint8)
+        out = np.empty((max_frames, self.out_h, self.out_w), np.uint8)
         pts = np.empty(max_frames, np.int64)
         streams = np.empty(max_frames, np.int32)
         n = _LIB.vca_ingest_collect(
@@ -118,10 +143,36 @@ class PythonIngest:
 
     def __init__(self, width: int, height: int, capacity: int = 256):
         self.w, self.h = width, height
+        self.out_w, self.out_h = width, height
         self.capacity = capacity
         self._q = deque()
         self._mu = threading.Lock()
+        self._conns: dict[int, "object"] = {}
         self.dropped = 0
+
+    def set_work(self, work_w: int = 0, work_h: int = 0) -> None:
+        """Downscale-at-push (same semantics as NativeIngest.set_work);
+        uses ops/resize.resize_linear_exact so it is bit-exact with the
+        device path by construction."""
+        if work_w and work_h and (work_w, work_h) != (self.w, self.h):
+            self.out_w, self.out_h = work_w, work_h
+        else:
+            self.out_w, self.out_h = self.w, self.h
+        with self._mu:
+            self._q.clear()   # queued frames have the old shape
+
+    def send(self, stream: int, data) -> bool:
+        """Write annotated frame bytes back on the stream's TCP connection
+        (media-plane output); False without a live connection."""
+        conn = self._conns.get(stream)
+        if conn is None:
+            return False
+        try:
+            conn.sendall(np.ascontiguousarray(data, np.uint8).tobytes())
+            return True
+        except OSError:
+            self._conns.pop(stream, None)
+            return False
 
     def push(self, stream: int, frame: np.ndarray, pts: int = 0) -> None:
         frame = np.asarray(frame)
@@ -129,6 +180,11 @@ class PythonIngest:
             from ..ops.color import bgr_to_gray
             import jax.numpy as jnp
             frame = np.asarray(bgr_to_gray(jnp.asarray(frame[..., :3])))
+        if (self.out_w, self.out_h) != (self.w, self.h):
+            from ..ops.resize import resize_linear_exact
+            import jax.numpy as jnp
+            frame = np.asarray(resize_linear_exact(
+                jnp.asarray(frame), (self.out_w, self.out_h)))
         with self._mu:
             if len(self._q) >= self.capacity:
                 self._q.popleft()
@@ -144,7 +200,7 @@ class PythonIngest:
                 pts.append(p)
                 streams.append(s)
         if not frames:
-            return (np.empty((0, self.h, self.w), np.uint8),
+            return (np.empty((0, self.out_h, self.out_w), np.uint8),
                     np.empty(0, np.int64), np.empty(0, np.int32))
         return (np.stack(frames), np.asarray(pts, np.int64),
                 np.asarray(streams, np.int32))
@@ -166,19 +222,24 @@ class PythonIngest:
 
         def reader(conn, stream):
             pts = 0
-            with conn:
-                while not self._listen_stop.is_set():
-                    buf = b""
-                    while len(buf) < frame_bytes:
-                        chunk = conn.recv(frame_bytes - len(buf))
-                        if not chunk:
-                            return
-                        buf += chunk
-                    frame = np.frombuffer(buf, np.uint8)
-                    frame = (frame.reshape(self.h, self.w) if channels == 1
-                             else frame.reshape(self.h, self.w, channels))
-                    self.push(stream, frame, pts)
-                    pts += 1
+            self._conns[stream] = conn
+            try:
+                with conn:
+                    while not self._listen_stop.is_set():
+                        buf = b""
+                        while len(buf) < frame_bytes:
+                            chunk = conn.recv(frame_bytes - len(buf))
+                            if not chunk:
+                                return
+                            buf += chunk
+                        frame = np.frombuffer(buf, np.uint8)
+                        frame = (frame.reshape(self.h, self.w)
+                                 if channels == 1
+                                 else frame.reshape(self.h, self.w, channels))
+                        self.push(stream, frame, pts)
+                        pts += 1
+            finally:
+                self._conns.pop(stream, None)
 
         def acceptor():
             stream = 0

@@ -238,7 +238,18 @@ class CnnFaceDetector:
         self.threshold = threshold
         self.scale_back = self.frame_w / self.WORK_W
         self.tracks = [FaceTracks() for _ in range(n_streams)]
+        self._rejit()
+
+    def _rejit(self):
         self._detect_jit = jax.jit(self._device_detect)
+
+    def reconfigure(self, threshold: float | None = None) -> None:
+        """Apply a threshold change to the LIVE detector (track IDs
+        preserved). The objectness threshold is baked into the traced
+        program, so the jit wrapper is rebuilt on change."""
+        if threshold is not None and threshold != self.threshold:
+            self.threshold = threshold
+            self._rejit()
 
     def _device_detect(self, gray):
         from ..ops.resize import resize_linear_exact

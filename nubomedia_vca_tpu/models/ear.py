@@ -128,9 +128,10 @@ class EarDetector(PartDetectorBase):
             "ear", out_ears, self.config.euclidean_distance)
         return {"face_profile": out_faces, "ear": out_ears}
 
-    def process(self, gray, face_boxes=None):
+    def process(self, gray, face_boxes=None, stream: int = 0):
         """Ear module ignores detect-event gating (reference parity:
         detect_event is stored but unused in processing)."""
+        self._active = self._stream_state(stream)
         gray = np.asarray(gray)
         if gray.ndim == 2:
             gray = gray[None]

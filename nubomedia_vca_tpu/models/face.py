@@ -146,8 +146,20 @@ class FaceDetector:
         self.config = config or FaceDetectorConfig()
         self.frame_w, self.frame_h = frame_size
         cfg = self.config
-        # working resolution (reference: kmsfacedetect.cpp:282-306 — scale
-        # factor = width / width_to_process, full-width rows)
+        self._apply_geometry()
+        self.gop = GopScheduler(cfg.process_x_every_4_frames)
+        # face budget is unscaled (kmsfacedetect.cpp:751), unlike the parts
+        self.gate = EventGate(cfg.detect_event, cfg.process_x_every_4_frames,
+                              scaled=False)
+        self.tracks = [FaceTracks() for _ in range(n_streams)]
+
+    def _apply_geometry(self) -> None:
+        """(Re)derive working resolution + engine from the current config.
+
+        Reference: kmsfacedetect.cpp:282-306 — scale factor =
+        width / width_to_process, full-width rows. get_engine is cached, so
+        re-applying an unchanged geometry is free."""
+        cfg = self.config
         self.work_w = min(cfg.width_to_process, self.frame_w)
         self.work_h = int(round(self.frame_h * self.work_w / self.frame_w))
         self.scale_back = self.frame_w / self.work_w
@@ -156,11 +168,20 @@ class FaceDetector:
             (self.work_w, self.work_h),
             multi_scale_to_pyramid_factor(cfg.multi_scale_factor),
         )
-        self.gop = GopScheduler(cfg.process_x_every_4_frames)
-        # face budget is unscaled (kmsfacedetect.cpp:751), unlike the parts
-        self.gate = EventGate(cfg.detect_event, cfg.process_x_every_4_frames,
-                              scaled=False)
-        self.tracks = [FaceTracks() for _ in range(n_streams)]
+
+    def reconfigure(self, config: FaceDetectorConfig) -> None:
+        """Apply a config delta to the LIVE detector, preserving all
+        temporal state (track IDs, GOP counter, event-gate budget).
+
+        The reference's setters mutate the running element under its mutex
+        (kms_face_detect_set_property, kmsfacedetect.cpp:504-582) — track
+        identity survives any knob change; only the engine (a stateless
+        cached object) is swapped when geometry/pyramid knobs change."""
+        self.config = config
+        self._apply_geometry()
+        self.gop.x = int(config.process_x_every_4_frames)
+        self.gate.enabled = bool(config.detect_event)
+        self.gate.x = int(config.process_x_every_4_frames)
 
     def _tracks_for(self, stream: int) -> "FaceTracks":
         """Per-stream track state, grown on demand (the media loop routes

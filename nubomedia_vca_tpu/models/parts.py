@@ -73,6 +73,23 @@ class Roi:
                 and b[1] + b[3] <= self.y + self.h)
 
 
+class _StreamState:
+    """Per-stream temporal state. The reference's model is one element per
+    pipeline = per stream; the media loop routes many TCP streams through
+    one model, so each stream carries its own GOP counter, event-gate
+    budget and anti-vibration merge state (the x:.._prev/_er/_el counters
+    of kmseyedetect.cpp:1034-1064 scoped per element instance)."""
+
+    __slots__ = ("gop", "gate", "prev", "empty_count")
+
+    def __init__(self, config: PartDetectorConfig):
+        self.gop = GopScheduler(config.process_x_every_4_frames)
+        self.gate = EventGate(config.detect_event,
+                              config.process_x_every_4_frames)
+        self.prev: dict[str, list] = {}
+        self.empty_count: dict[str, int] = {}
+
+
 class PartDetectorBase:
     """Shared machinery: batched face pass + batched part pass + per-ROI
     candidate assignment. Subclasses define ROI geometry and merge rules."""
@@ -88,6 +105,50 @@ class PartDetectorBase:
                  part_cascades: dict[str, str]):
         self.config = config
         self.frame_w, self.frame_h = frame_size
+        self._part_cascade_paths = dict(part_cascades)
+        self._apply_geometry()
+        self._streams: dict[int, _StreamState] = {}
+        self._active = self._stream_state(0)
+
+    # ------------------------------------------------------ per-stream state
+    def _stream_state(self, stream: int) -> _StreamState:
+        st = self._streams.get(stream)
+        if st is None:
+            st = _StreamState(self.config)
+            self._streams[stream] = st
+        return st
+
+    # Attribute views onto the ACTIVE stream's state (stream 0 until a
+    # process(..., stream=) call selects another) — keeps the single-stream
+    # surface (tests, checkpointing) unchanged.
+    @property
+    def gop(self) -> GopScheduler:
+        return self._active.gop
+
+    @property
+    def gate(self) -> EventGate:
+        return self._active.gate
+
+    @property
+    def _prev(self) -> dict:
+        return self._active.prev
+
+    @_prev.setter
+    def _prev(self, v: dict) -> None:
+        self._active.prev = v
+
+    @property
+    def _empty_count(self) -> dict:
+        return self._active.empty_count
+
+    @_empty_count.setter
+    def _empty_count(self, v: dict) -> None:
+        self._active.empty_count = v
+
+    def _apply_geometry(self) -> None:
+        """(Re)derive face/part resolutions + engines from the current
+        config (get_engine is cached; unchanged geometry costs nothing)."""
+        config = self.config
         # face resolution (o2f) and part resolution (o2p)
         self.face_w = min(config.face_width, self.frame_w)
         self.face_h = int(round(self.frame_h * self.face_w / self.frame_w))
@@ -107,13 +168,21 @@ class PartDetectorBase:
                 path, (self.part_w, self.part_h),
                 self.PART_SCALE_FACTOR, min_size=self.PART_MIN_SIZE,
             )
-            for name, path in part_cascades.items()
+            for name, path in self._part_cascade_paths.items()
         }
-        self.gop = GopScheduler(config.process_x_every_4_frames)
-        self.gate = EventGate(config.detect_event,
-                              config.process_x_every_4_frames)
-        self._prev: dict[str, list] = {}   # temporal merge state per output key
-        self._empty_count: dict[str, int] = {}  # consecutive-empty per key
+
+    def reconfigure(self, config: PartDetectorConfig) -> None:
+        """Apply a config delta to the LIVE detector, preserving temporal
+        state (anti-vibration boxes, empty-frame counters, GOP counter,
+        event-gate budget) — the reference mutates the running element
+        under its mutex (kms_eye_detect_set_property and siblings), so a
+        mid-stream setter never resets the merge state."""
+        self.config = config
+        self._apply_geometry()
+        for st in self._streams.values():
+            st.gop.x = int(config.process_x_every_4_frames)
+            st.gate.enabled = bool(config.detect_event)
+            st.gate.x = int(config.process_x_every_4_frames)
 
     # ------------------------------------------------------------ device part
     def _device_pass(self, gray):
@@ -204,11 +273,15 @@ class PartDetectorBase:
         ]
 
     # ------------------------------------------------------------- host logic
-    def process(self, gray, face_boxes=None):
+    def process(self, gray, face_boxes=None, stream: int = 0):
         """gray [B?,H,W]; face_boxes: optional per-frame face boxes in
         ORIGINAL coordinates (the detect-event path, where an upstream face
         detector feeds boxes; kmseyedetect.cpp:680-724). Returns a list per
-        frame of dicts of named detections in original coordinates."""
+        frame of dicts of named detections in original coordinates.
+
+        `stream` selects the per-stream temporal state; frames in one call
+        are consecutive frames of that stream."""
+        self._active = self._stream_state(stream)
         gray = np.asarray(gray)
         if gray.ndim == 2:
             gray = gray[None]

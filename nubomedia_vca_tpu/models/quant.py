@@ -93,7 +93,12 @@ class QuantizedCnnFaceDetector(cnn.CnnFaceDetector):
         super().__init__(frame_size, params=params, checkpoint=checkpoint,
                          threshold=threshold, n_streams=n_streams)
         self.qparams = quantize_params(self.params)
-        self._detect_jit = jax.jit(self._device_detect_int8)
+        self._rejit()
+
+    def _rejit(self):
+        # guarded: the base __init__ calls _rejit before qparams exists
+        if hasattr(self, "qparams"):
+            self._detect_jit = jax.jit(self._device_detect_int8)
 
     def _device_detect_int8(self, gray):
         from ..ops.resize import resize_linear_exact

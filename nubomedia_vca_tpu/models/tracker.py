@@ -245,32 +245,67 @@ def join_objects(rects, min_area, max_area, distance):
 
 
 class Tracker:
-    """Stateful per-stream wrapper with the reference's host-side blob
-    filtering and event emission semantics."""
+    """Stateful wrapper with the reference's host-side blob filtering and
+    event emission semantics. MHI/prev-frame recurrence state is kept PER
+    STREAM (keyed by the media loop's stream id) — the reference's
+    file-static `img_prev` shared across instances (gstnubotracker.cpp:108)
+    is a documented hazard we fix, not reproduce."""
 
     def __init__(self, frame_size: tuple[int, int],
                  config: TrackerConfig | None = None, fps: float = 30.0):
         self.config = config or TrackerConfig()
         self.w, self.h = frame_size
-        self.state = init_state(self.h, self.w)
         self.fps = fps
-        self.frame_idx = 0
+        self._states: dict[int, TrackerState] = {0: init_state(self.h, self.w)}
+        self._frame_idx: dict[int, int] = {0: 0}
 
-    def process(self, gray_frames) -> list[list[tuple[int, int, int, int]]]:
-        """Consecutive frames [N,H,W] (or [H,W]) → per-frame blob lists."""
+    # stream-0 views keep the single-stream surface (tests, checkpointing)
+    @property
+    def state(self) -> TrackerState:
+        return self._states[0]
+
+    @state.setter
+    def state(self, v: TrackerState) -> None:
+        self._states[0] = v
+
+    @property
+    def frame_idx(self) -> int:
+        return self._frame_idx[0]
+
+    @frame_idx.setter
+    def frame_idx(self, v: int) -> None:
+        self._frame_idx[0] = v
+
+    def reconfigure(self, config: TrackerConfig) -> None:
+        """Apply a config delta to the live tracker; MHI recurrence state
+        and frame clocks survive (the reference mutates the running element
+        under its mutex, gst_nubo_tracker_set_property)."""
+        self.config = config
+
+    def process(self, gray_frames,
+                stream: int = 0) -> list[list[tuple[int, int, int, int]]]:
+        """Consecutive frames [N,H,W] (or [H,W]) of one stream → per-frame
+        blob lists."""
         gray_frames = np.asarray(gray_frames)
         if gray_frames.ndim == 2:
             gray_frames = gray_frames[None]
         cfg = self.config
+        state = self._states.get(stream)
+        if state is None:
+            state = init_state(self.h, self.w)
+            self._frame_idx[stream] = 0
+        idx = self._frame_idx[stream]
         out = []
         for fr in gray_frames:
-            ts = self.frame_idx / self.fps
-            self.state, rects, valid, _, _ = tracker_step(
-                self.state, fr, ts,
+            ts = idx / self.fps
+            state, rects, valid, _, _ = tracker_step(
+                state, fr, ts,
                 threshold=cfg.threshold, mhi_duration=cfg.mhi_duration,
                 seg_thresh=cfg.seg_thresh, max_blobs=cfg.max_blobs)
             rs = np.asarray(rects)[np.asarray(valid)]
             out.append(join_objects(rs, cfg.min_area, cfg.max_area,
                                     cfg.distance))
-            self.frame_idx += 1
+            idx += 1
+        self._states[stream] = state
+        self._frame_idx[stream] = idx
         return out

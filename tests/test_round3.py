@@ -1,0 +1,292 @@
+"""Round-3 behavior tests: state-preserving live setters, per-stream
+temporal state, tracker visual_mode, media-plane output, ingest downscale,
+and tracker→face gating in the serving loop.
+
+Reference behaviors matched: g_object_set on a live element preserves
+state (kmsfacedetect.cpp:504-582); one element per pipeline = per stream;
+visual_mode draw gate (gstnubotracker.cpp:383-390); annotated frames
+continue downstream (kmsfacedetect.cpp:857-898); CPU-side downscale before
+detection (kmsfacedetect.cpp:805); motion events refuel the face gate
+(kmsfacedetect.cpp:698-707).
+"""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from .fixtures import face_scene, face_clip, FACE_XML
+
+W, H = 640, 480
+
+
+def _wait(pred, timeout=120.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.1)
+    return False
+
+
+# --------------------------------------------------- state-preserving setters
+def test_rpc_setters_preserve_track_state():
+    """Mid-stream RPC setters apply to the LIVE model: track IDs and the
+    FaceTracks object survive (the old behavior rebuilt the model and
+    silently reset temporal state)."""
+    from nubomedia_vca_tpu.api.objects import MediaPipeline, NuboFaceDetector
+
+    pipe = MediaPipeline((W, H))
+    face = NuboFaceDetector(pipe)
+    frame = face_scene(W, H, faces=((320, 240, 100),), noise=5, seed=1)
+    clip = np.stack([frame] * 6)
+    r1 = face.process(clip[:3])
+    ids1 = sorted(f.id for f in r1[-1])
+    assert ids1, "fixture face not detected"
+    model = face._ensure_model()
+    tracks_obj = model.tracks[0]
+
+    face.showFaces(0)            # knob changes mid-stream...
+    face.trackThreshold(45)
+    face.euclideanDistance(9)
+
+    r2 = face.process(clip[3:])
+    assert face._ensure_model() is model, "model was rebuilt"
+    assert face._ensure_model().tracks[0] is tracks_obj, "tracks reset"
+    assert sorted(f.id for f in r2[-1]) == ids1, "track IDs did not survive"
+    cfg = face._ensure_model().config
+    assert cfg.track_threshold == 45 and cfg.view == 0
+
+
+def test_reconfigure_updates_gop_and_gate():
+    from nubomedia_vca_tpu.models.face import FaceDetector, FaceDetectorConfig
+
+    det = FaceDetector((W, H))
+    det.gop.counter = 7
+    cfg = det.config
+    cfg.process_x_every_4_frames = 2
+    cfg.detect_event = 1
+    det.reconfigure(cfg)
+    assert det.gop.x == 2 and det.gop.counter == 7   # policy new, clock kept
+    assert det.gate.enabled
+
+
+def test_cnn_quantized_swap_preserves_tracks():
+    from nubomedia_vca_tpu.api.objects import (MediaPipeline,
+                                               NuboCnnFaceDetector)
+    from nubomedia_vca_tpu.models.quant import QuantizedCnnFaceDetector
+
+    pipe = MediaPipeline((W, H))
+    det = NuboCnnFaceDetector(pipe)
+    m1 = det._ensure_model()
+    tracks = m1.tracks
+    det.setQuantized(1)
+    m2 = det._ensure_model()
+    assert isinstance(m2, QuantizedCnnFaceDetector)
+    assert m2.tracks is tracks
+    det.setThreshold(0.7)
+    assert det._ensure_model() is m2 and m2.threshold == 0.7
+
+
+# ------------------------------------------------------- per-stream state
+def test_part_detector_per_stream_merge_state():
+    from nubomedia_vca_tpu.models.mouth import (MouthDetector,
+                                                MouthDetectorConfig)
+
+    det = MouthDetector((W, H), MouthDetectorConfig(
+        mouth_cascade_path=FACE_XML))
+    box = (100, 100, 40, 20)
+    det._active = det._stream_state(0)
+    assert det._merge_consecutive("mouth", [box], 4) == [box]
+    # stream 1 has its own empty state
+    det._active = det._stream_state(1)
+    assert det._merge_consecutive("mouth", [], 4) == []
+    # stream 0's anti-vibration box survived stream 1's activity
+    det._active = det._stream_state(0)
+    assert det._merge_consecutive("mouth", [], 4) == [box]
+
+
+def test_tracker_per_stream_state_isolation():
+    """Two interleaved streams through ONE tracker give exactly the
+    results of running each stream through its own tracker."""
+    from nubomedia_vca_tpu.models.tracker import Tracker
+    from .fixtures import moving_blob_clip
+
+    clip_a = moving_blob_clip(6, seed=3)
+    clip_b = moving_blob_clip(6, seed=9)
+
+    solo_a = Tracker((320, 240)).process(clip_a)
+    solo_b = Tracker((320, 240)).process(clip_b)
+
+    shared = Tracker((320, 240))
+    mixed_a, mixed_b = [], []
+    for i in range(6):   # interleave frame by frame
+        mixed_a.extend(shared.process(clip_a[i], stream=0))
+        mixed_b.extend(shared.process(clip_b[i], stream=1))
+    assert mixed_a == solo_a
+    assert mixed_b == solo_b
+
+
+# ------------------------------------------------------- tracker visual_mode
+def test_tracker_visual_mode_gates_rendering():
+    from nubomedia_vca_tpu.api.objects import MediaPipeline, NuboTracker
+
+    pipe = MediaPipeline((64, 64))
+    tr = NuboTracker(pipe)
+    frames = np.full((1, 64, 64), 100, np.uint8)
+    results = [[(10, 10, 30, 30)]]
+    out = np.asarray(tr.render(frames, results))
+    assert np.array_equal(out, frames), "visual_mode=0 must not draw"
+    tr.setVisualMode(1)
+    out2 = np.asarray(tr.render(frames, results))
+    assert not np.array_equal(out2, frames), "visual_mode=1 must draw"
+
+
+# --------------------------------------------------------- media-plane output
+def test_media_output_annotated_frames_over_tcp():
+    """The annotated-stream product: push N frames over TCP, read back N
+    GRAY8 frames that differ from the input exactly at the drawn
+    rectangles (kmsfacedetect.cpp:857-898; run_plugin.sh:3)."""
+    from nubomedia_vca_tpu.api.objects import MediaPipeline, NuboFaceDetector
+
+    N = 4
+    pipe = MediaPipeline((W, H))
+    NuboFaceDetector(pipe)
+    frame = face_scene(W, H, faces=((320, 240, 100),), noise=5, seed=1)
+    try:
+        port = pipe.listen(0, output=1)
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            s.settimeout(600)
+            for _ in range(N):
+                s.sendall(frame.tobytes())
+            # keep the write side open while reading back (the writer
+            # drains per-connection queues in input order)
+            buf = b""
+            while len(buf) < N * W * H:
+                chunk = s.recv(min(1 << 20, N * W * H - len(buf)))
+                assert chunk, "connection closed before all annotated frames"
+                buf += chunk
+        out = np.frombuffer(buf, np.uint8).reshape(N, H, W)
+        assert pipe._runner.frames_sent == N
+    finally:
+        pipe.stopMedia()
+
+    for i in range(N):
+        diff = out[i] != frame
+        assert diff.any(), "no annotation drawn"
+        # changed pixels are the rectangle border (drawn value = color[0])
+        assert (out[i][diff] == 0).all()
+        # ... and confined to the face neighborhood
+        ys, xs = np.nonzero(diff)
+        assert xs.min() > 120 and xs.max() < 520, "draw outside face region"
+        assert ys.min() > 40 and ys.max() < 440
+
+
+# -------------------------------------------------------- ingest downscale
+def test_ingest_downscale_bit_exact():
+    """Downscale-at-push is bit-exact with ops/resize.resize_linear_exact
+    (native C++ table scheme mirrors the Python one)."""
+    import jax.numpy as jnp
+    from nubomedia_vca_tpu.cpp.ingest_binding import make_ingest
+    from nubomedia_vca_tpu.ops.resize import resize_linear_exact
+
+    frame = face_scene(W, H, faces=((300, 220, 90),), noise=30, seed=7)
+    ing = make_ingest(W, H)
+    ing.set_work(160, 120)
+    try:
+        ing.push(0, frame, pts=0)
+        got, _, _ = ing.collect(1, min_frames=1, wait_ms=2000)
+        assert got.shape == (1, 120, 160)
+        want = np.asarray(resize_linear_exact(jnp.asarray(frame), (160, 120)))
+        np.testing.assert_array_equal(got[0], want)
+    finally:
+        ing.close()
+
+
+def test_detect_on_ingest_downscaled_equals_full_res():
+    """With ingest downscale to the model's working resolution, the device
+    resize becomes an identity and detections are UNCHANGED — the 36× H2D
+    cut costs nothing."""
+    import jax.numpy as jnp
+    from nubomedia_vca_tpu.models.face import FaceDetector
+    from nubomedia_vca_tpu.ops.resize import resize_linear_exact
+
+    clip = face_clip(4, W, H)
+    fd = FaceDetector((W, H))
+    full = fd.detect_boxes(clip)
+    work = np.asarray(resize_linear_exact(
+        jnp.asarray(clip), (fd.work_w, fd.work_h)))
+    down = fd.detect_boxes(work)
+    for a, b in zip(full, down):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_media_loop_downscale_serving():
+    """Serving loop with downscale=1: only working-resolution luma crosses
+    H2D; events still flow."""
+    from nubomedia_vca_tpu.api.objects import MediaPipeline, NuboFaceDetector
+
+    pipe = MediaPipeline((W, H))
+    face = NuboFaceDetector(pipe)
+    face.activateServerEvents(1, 1)
+    evs = []
+    face.addEventListener("OnFace", evs.append)
+    frame = face_scene(W, H, faces=((320, 240, 100),), noise=5, seed=1)
+    try:
+        port = pipe.listen(0, downscale=1)
+        assert pipe._runner.ingest.out_w == face._ensure_model().work_w
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            for _ in range(4):
+                s.sendall(frame.tobytes())
+            assert _wait(lambda: evs, timeout=300), "no OnFace event"
+    finally:
+        pipe.stopMedia()
+    assert "width" in evs[0]["wire"]
+
+
+def test_listen_output_with_downscale_rejected():
+    from nubomedia_vca_tpu.api.objects import MediaPipeline, NuboFaceDetector
+
+    pipe = MediaPipeline((W, H))
+    NuboFaceDetector(pipe)
+    with pytest.raises(ValueError):
+        pipe.listen(0, output=1, downscale=1)
+    pipe.stopMedia()
+
+
+# ------------------------------------------- tracker→face gating (serving)
+def test_serving_loop_tracker_refuels_face_gate():
+    """A tracker element's motion events refuel a downstream face
+    detector's detect-event gate inside the serving loop
+    (kmsfacedetect.cpp:698-707): static frames → face idles; motion →
+    face detects."""
+    from nubomedia_vca_tpu.api.objects import (MediaPipeline, NuboTracker,
+                                               NuboFaceDetector)
+    import cv2
+
+    W2, H2 = 320, 240
+    base = face_scene(W2, H2, faces=((160, 120, 70),), noise=0, seed=0)
+    pipe = MediaPipeline((W2, H2))
+    NuboTracker(pipe)                     # registered first: upstream
+    face = NuboFaceDetector(pipe)
+    face.detectByEvent(1)
+    face.activateServerEvents(1, 1)
+    evs = []
+    face.addEventListener("OnFace", evs.append)
+    try:
+        # phase 1: static frames — no motion, gate stays empty
+        for i in range(4):
+            pipe.pushFrame(base, pts=i)
+        assert _wait(lambda: pipe.framesProcessed() >= 4, timeout=300)
+        assert not evs, "face detector ran without a motion event"
+        # phase 2: a moving blob appears — motion events refuel the gate
+        for i in range(6):
+            fr = base.copy()
+            cv2.circle(fr, (30 + 12 * i, 200), 12, 255, -1)
+            pipe.pushFrame(fr, pts=4 + i)
+        assert _wait(lambda: evs, timeout=300), \
+            "motion did not refuel the face gate"
+    finally:
+        pipe.stopMedia()
+    assert "width" in evs[0]["wire"]
