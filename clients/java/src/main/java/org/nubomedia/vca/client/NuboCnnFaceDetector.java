@@ -40,6 +40,12 @@ public class NuboCnnFaceDetector extends RemoteObject {
     return invoke("sendMetaData", p);
   }
 
+  public JsonElement setMultiScale(int multiScale) {
+    JsonObject p = new JsonObject();
+    p.addProperty("multiScale", multiScale);
+    return invoke("setMultiScale", p);
+  }
+
   public JsonElement setOverlayedImage(String uri, float offsetXPercent, float offsetYPercent, float widthPercent, float heightPercent) {
     JsonObject p = new JsonObject();
     p.addProperty("uri", uri);

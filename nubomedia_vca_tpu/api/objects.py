@@ -366,6 +366,7 @@ class CnnDetectorConfig:
 
     threshold: float = 0.5       # objectness threshold
     quantized: int = 0           # 1 → int8 serving path (models/quant.py)
+    multi_scale: int = 0         # 1 → 320+640 two-scale inference
     view: int = 1
     activate_events: int = 0
     events_ms: int = 30001
@@ -391,7 +392,8 @@ class NuboCnnFaceDetector(_FilterObject):
         cls = (QuantizedCnnFaceDetector if self._config.quantized
                else CnnFaceDetector)
         return cls(self.pipeline.frame_size,
-                   threshold=self._config.threshold)
+                   threshold=self._config.threshold,
+                   multi_scale=bool(self._config.multi_scale))
 
     def _reconfigure_model(self):
         from ..models.quant import QuantizedCnnFaceDetector
@@ -404,7 +406,9 @@ class NuboCnnFaceDetector(_FilterObject):
             self._model = self._build_model()
             self._model.tracks = tracks
         else:
-            self._model.reconfigure(threshold=self._config.threshold)
+            self._model.reconfigure(
+                threshold=self._config.threshold,
+                multi_scale=bool(self._config.multi_scale))
 
     def showFaces(self, viewFaces: int):
         self._set(view=int(viewFaces))
@@ -414,6 +418,9 @@ class NuboCnnFaceDetector(_FilterObject):
 
     def setQuantized(self, quantized: int):
         self._set(quantized=int(quantized))
+
+    def setMultiScale(self, multiScale: int):
+        self._set(multi_scale=int(multiScale))
 
     def process(self, frames, stream: int = 0, events=None):
         model = self._ensure_model()

@@ -25,6 +25,11 @@ REFERENCE_DIR = "/usr/share/opencv/haarcascades"   # reference's hard-coded dir
 SYSTEM_DIR = "/usr/share/opencv4/haarcascades"
 ASSETS_DIR = os.path.normpath(os.path.join(
     os.path.dirname(__file__), "..", "..", "assets", "haarcascades"))
+# cascades bundled inside the package (ship in the wheel): the trainer's
+# synthetic nose/ear/profile substitutes (tools/train_part_cascades.py) —
+# probed LAST so any same-named system or drop-in model wins
+PKG_ASSETS_DIR = os.path.normpath(os.path.join(
+    os.path.dirname(__file__), "..", "assets", "haarcascades"))
 
 
 def search_dirs() -> list[str]:
@@ -32,7 +37,7 @@ def search_dirs() -> list[str]:
     env = os.environ.get("VCA_CASCADE_PATH")
     if env:
         dirs.extend(p for p in env.split(":") if p)
-    dirs += [ASSETS_DIR, REFERENCE_DIR, SYSTEM_DIR]
+    dirs += [ASSETS_DIR, REFERENCE_DIR, SYSTEM_DIR, PKG_ASSETS_DIR]
     return dirs
 
 

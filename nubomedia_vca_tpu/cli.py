@@ -96,12 +96,47 @@ def _rects_for_frame(ns, result):
     return out
 
 
+def _warmup(ns) -> int:
+    """Pre-compile the standard engine set into the persistent compilation
+    cache so a fresh deployment's first detection is seconds, not minutes
+    (ROADMAP known-limit 1: cold-start cost). Run once per machine per
+    config; subsequent processes hit the on-disk cache."""
+    import time
+
+    W, H = (int(v) for v in ns.size.lower().split("x"))
+    batches = [int(b) for b in ns.batches.split(",") if b]
+    names = [f for f in ns.warm_filters.split(",") if f]
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        model = _make_model(argparse.Namespace(filter=name), (W, H))
+        engines = []
+        if hasattr(model, "engine"):
+            engines.append(model.engine)
+        if hasattr(model, "face_engine"):
+            engines.append(model.face_engine)
+        if hasattr(model, "part_engines"):
+            engines.extend(model.part_engines.values())
+        for eng in engines:
+            for b in batches:
+                eng.warmup(batch_size=b)
+        if name in ("face", "cnn", "tracker"):
+            # full model path incl. device grouping / NMS / MHI compiles
+            for b in batches:
+                model.process(np.zeros((b, H, W), np.uint8))
+        print(f"warmup {name}: {len(engines)} engines, batches {batches}, "
+              f"{time.time() - t0:.0f}s", flush=True)
+    print(f"warmup done in {time.time() - t_all:.0f}s", flush=True)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="nubomedia_vca_tpu",
         description=__doc__.splitlines()[0])
     ap.add_argument("filter", choices=(
-        "face", "eye", "mouth", "nose", "ear", "tracker", "cnn", "chain"))
+        "face", "eye", "mouth", "nose", "ear", "tracker", "cnn", "chain",
+        "warmup"))
     ap.add_argument("--input", default=None,
                     help="video URI / file / v4l2 index for cv2.VideoCapture")
     ap.add_argument("--synthetic", action="store_true",
@@ -112,13 +147,22 @@ def main(argv=None):
                     help="write annotated video here (cv2.VideoWriter)")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the TPU backend (default: CPU)")
+    ap.add_argument("--size", default="640x480",
+                    help="warmup: frame size WxH")
+    ap.add_argument("--batches", default="1,8",
+                    help="warmup: comma-separated batch sizes")
+    ap.add_argument("--warm-filters", default="face,eye,mouth,tracker",
+                    help="warmup: comma-separated filter set")
     ns = ap.parse_args(argv)
-    if not ns.synthetic and ns.input is None:
+    if ns.filter != "warmup" and not ns.synthetic and ns.input is None:
         ap.error("--input or --synthetic required")
 
     if not ns.tpu:
         from nubomedia_vca_tpu import force_cpu_backend
         force_cpu_backend()
+
+    if ns.filter == "warmup":
+        return _warmup(ns)
 
     gray, src_fps = _read_frames(ns)
     n, H, W = gray.shape

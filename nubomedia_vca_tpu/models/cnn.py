@@ -220,10 +220,14 @@ class CnnFaceDetector:
     """
 
     WORK_W, WORK_H = 320, 240    # grid 20x15 at STRIDE 16
+    # two-scale inference option: + a 640-wide pass so faces smaller than
+    # ~2 grid cells at 320 are still seen (detections from both scales are
+    # merged by one cross-scale NMS in canonical 320-space)
+    MULTI_SCALES = ((320, 240), (640, 480))
 
     def __init__(self, frame_size: tuple[int, int], params: dict | None = None,
                  checkpoint: str | None = None, threshold: float = 0.5,
-                 n_streams: int = 1):
+                 n_streams: int = 1, multi_scale: bool = False):
         from .face import FaceTracks
 
         self.frame_w, self.frame_h = frame_size
@@ -236,6 +240,7 @@ class CnnFaceDetector:
             params = load_params_npz(path)
         self.params = params
         self.threshold = threshold
+        self.multi_scale = bool(multi_scale)
         self.scale_back = self.frame_w / self.WORK_W
         self.tracks = [FaceTracks() for _ in range(n_streams)]
         self._rejit()
@@ -243,22 +248,47 @@ class CnnFaceDetector:
     def _rejit(self):
         self._detect_jit = jax.jit(self._device_detect)
 
-    def reconfigure(self, threshold: float | None = None) -> None:
-        """Apply a threshold change to the LIVE detector (track IDs
-        preserved). The objectness threshold is baked into the traced
-        program, so the jit wrapper is rebuilt on change."""
+    def reconfigure(self, threshold: float | None = None,
+                    multi_scale: bool | None = None) -> None:
+        """Apply threshold / multi-scale changes to the LIVE detector
+        (track IDs preserved). Both are baked into the traced program, so
+        the jit wrapper is rebuilt on change."""
+        changed = False
         if threshold is not None and threshold != self.threshold:
             self.threshold = threshold
+            changed = True
+        if multi_scale is not None and bool(multi_scale) != self.multi_scale:
+            self.multi_scale = bool(multi_scale)
+            changed = True
+        if changed:
             self._rejit()
 
-    def _device_detect(self, gray):
+    def _scales(self):
+        return self.MULTI_SCALES if self.multi_scale \
+            else ((self.WORK_W, self.WORK_H),)
+
+    def _multi_detect(self, gray, fwd):
+        """Shared single/multi-scale decode: run `fwd` at every working
+        scale, map boxes into canonical WORK-space, one NMS across the
+        union (also suppresses cross-scale duplicates)."""
         from ..ops.resize import resize_linear_exact
 
-        work = resize_linear_exact(gray, (self.WORK_W, self.WORK_H))
-        pred = forward(self.params, work)
-        boxes, scores, valid = decode(pred, self.threshold)
+        all_boxes, all_scores, all_valid = [], [], []
+        for (sw, sh) in self._scales():
+            work = resize_linear_exact(gray, (sw, sh))
+            pred = fwd(work)
+            boxes, scores, valid = decode(pred, self.threshold)
+            all_boxes.append(boxes * (self.WORK_W / sw))
+            all_scores.append(scores)
+            all_valid.append(valid)
+        boxes = jnp.concatenate(all_boxes, axis=1)
+        scores = jnp.concatenate(all_scores, axis=1)
+        valid = jnp.concatenate(all_valid, axis=1)
         keep = jax.vmap(nms)(boxes, scores, valid)
         return boxes, scores, valid & keep
+
+    def _device_detect(self, gray):
+        return self._multi_detect(gray, lambda w: forward(self.params, w))
 
     def detect_boxes(self, gray) -> list[np.ndarray]:
         """Grouped (NMS) face boxes in original coordinates. Batches are

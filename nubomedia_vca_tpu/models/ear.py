@@ -20,7 +20,13 @@ search dir (cascade/paths.py); they are not shipped with OpenCV. Our flip
 design runs ONE ear cascade over [normal, flipped], so the right-ear model
 (which the reference's LEAR macro cross-wires into the left-ear slot to
 exploit the flip, kmseardetect.cpp:167-190) is the preferred default.
-When no ear cascade is found, only profile faces are emitted.
+When no mcs model is present, the framework's own trained substitute
+(vca_ear_synthetic.xml, shipped in the wheel — cascade/train.py) is used,
+so the ear path works out of the box; with no ear cascade at all only
+profile faces are emitted. Defaults pair coherently: real mcs ear model →
+real profile cascade; synthetic ear model → synthetic profile cascade
+(demo-grade — drop in the mcs files or pass explicit paths for
+production ear detection on real video).
 """
 
 from __future__ import annotations
@@ -36,7 +42,15 @@ from ..ops.resize import resize_linear_exact
 from .parts import PartDetectorBase, PartDetectorConfig, Roi, cv_round
 
 PROFILE_CASCADE = "/usr/share/opencv4/haarcascades/haarcascade_profileface.xml"
-EAR_CASCADES = ("haarcascade_mcs_rightear.xml", "haarcascade_mcs_leftear.xml")
+# probed in order: the real profile model, then the trained synthetic
+# fallback shipped in the wheel (cartoon fixtures; real deployments always
+# have the system file — tools/train_part_cascades.py documents why)
+PROFILE_CASCADES = ("haarcascade_profileface.xml",
+                    "vca_profileface_synthetic.xml")
+# mcs models (the reference's exact files) first; the framework's trained
+# substitute ships in the wheel so the ear path works out of the box
+EAR_CASCADES = ("haarcascade_mcs_rightear.xml", "haarcascade_mcs_leftear.xml",
+                "vca_ear_synthetic.xml")
 
 TOP_PERCENTAGE = 20    # kmseardetect.cpp:38
 DOWN_PERCENTAGE = 20   # kmseardetect.cpp:39
@@ -46,7 +60,7 @@ EXTRA_ROI = 50         # kmseardetect.cpp:51
 @dataclasses.dataclass
 class EarDetectorConfig(PartDetectorConfig):
     euclidean_distance: int = 7
-    face_cascade_path: str = PROFILE_CASCADE
+    face_cascade_path: str | None = None   # None → PROFILE_CASCADES probe
     ear_cascade_path: str | None = None
     max_fps_without_detection: int = 4   # kmseardetect.cpp:48
 
@@ -59,9 +73,26 @@ class EarDetector(PartDetectorBase):
     PART_MIN_SIZE = (1, 1)
 
     def __init__(self, frame_size, config: EarDetectorConfig | None = None):
+        import os
+
         config = config or EarDetectorConfig()
-        cascades = {}
         ear_path = config.ear_cascade_path or find_cascade(*EAR_CASCADES)
+        if config.face_cascade_path is None:
+            # coherent default pairing: a real mcs ear model pairs with the
+            # real profile cascade (production); the trained synthetic ear
+            # model pairs with the trained synthetic profile cascade (the
+            # real profileface, trained on photographs, never fires on the
+            # cartoon fixtures the synthetic ear model is trained for)
+            synth_ear = (ear_path is not None and os.path.basename(ear_path)
+                         == "vca_ear_synthetic.xml")
+            probe = (("vca_profileface_synthetic.xml",) + PROFILE_CASCADES
+                     if synth_ear else PROFILE_CASCADES)
+            config.face_cascade_path = find_cascade(*probe)
+        if config.face_cascade_path is None:
+            raise ValueError(
+                "EarDetector found no profile-face cascade; install OpenCV "
+                "haarcascades or pass face_cascade_path")
+        cascades = {}
         if ear_path:
             cascades["ear"] = ear_path
         super().__init__(frame_size, config, cascades)

@@ -43,15 +43,20 @@ class NoseDetector(PartDetectorBase):
 
     def __init__(self, frame_size, config: NoseDetectorConfig | None = None):
         config = config or NoseDetectorConfig()
+        # preference: the reference's exact mcs model (old format, parsed
+        # natively) when dropped into a search dir, else the framework's
+        # own trained substitute shipped in the wheel
+        # (tools/train_part_cascades.py; cascade/train.py)
         path = (config.nose_cascade_path
-                or find_cascade("haarcascade_mcs_nose.xml"))
+                or find_cascade("haarcascade_mcs_nose.xml",
+                                "vca_nose_synthetic.xml"))
         if path is None:
             raise ValueError(
-                "NoseDetector needs nose_cascade_path: OpenCV 4/5 ships no "
-                "nose cascade. Drop the reference's haarcascade_mcs_nose.xml"
-                " (old format is parsed natively) into assets/haarcascades/ "
-                "or a $VCA_CASCADE_PATH dir, or point this at any Haar "
-                "cascade XML.")
+                "NoseDetector needs nose_cascade_path: no nose cascade "
+                "found. Drop the reference's haarcascade_mcs_nose.xml (old "
+                "format is parsed natively) into assets/haarcascades/ or a "
+                "$VCA_CASCADE_PATH dir, or point this at any Haar cascade "
+                "XML.")
         super().__init__(frame_size, config, {"nose": path})
 
     def _process_frame(self, faces, part_raw, b):

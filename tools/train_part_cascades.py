@@ -1,0 +1,83 @@
+"""Train + ship the synthetic part cascades (nose, ear, profile face).
+
+Closes the reference's asset gap: deployments load haarcascade_mcs_nose.xml
+(kmsnosedetect.cpp:32) and mcs ear cascades (kmseardetect.cpp:30-31), which
+are 2001-era models OpenCV no longer ships and this project cannot
+redistribute. The framework's own trainer (cascade/train.py, an
+opencv_traincascade analog) builds substitutes on procedural scenes
+(models/synth.py) so NoseDetector() and EarDetector() work out of the box;
+drop the real mcs files into a cascade search dir to override (they win the
+find_cascade probe order, cascade/paths.py).
+
+The synthetic profile-face cascade exists because the real
+haarcascade_profileface (trained on photographs) does not fire on cartoon
+fixtures — it is shipped as a LAST-resort fallback and for fixture tests;
+real deployments keep the system profile cascade.
+
+    python tools/train_part_cascades.py [--out-dir .../assets/haarcascades]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+SPECS = {
+    "nose": "vca_nose_synthetic.xml",
+    "ear": "vca_ear_synthetic.xml",
+    "profile": "vca_profileface_synthetic.xml",
+}
+
+
+def train_one(part: str, out_path: str, seed: int = 0) -> None:
+    from nubomedia_vca_tpu.models.synth import make_samplers
+    from nubomedia_vca_tpu.cascade.train import (
+        train_cascade, TrainConfig, write_cascade_xml, cascade_pass,
+        corner_matrix, vnf_and_valid)
+
+    pos_s, neg_s = make_samplers(part)
+    cfg = TrainConfig(n_stages=8, n_pos=3000, n_neg=6000, max_features=3000,
+                      max_weaks_per_stage=40, seed=seed)
+    t0 = time.time()
+    model = train_cascade(pos_s, neg_s, cfg)
+    print(f"{part}: {len(model.stages)} stages in {time.time() - t0:.0f}s")
+
+    # window-level holdout (validity-filtered — the engine rejects
+    # low-variance windows before the cascade ever sees them)
+    rng = np.random.RandomState(seed + 999)
+    P, N = pos_s(800, rng), neg_s(3000, rng)
+    mat = corner_matrix(model.feats, *cfg.window)
+    _, pv = vnf_and_valid(P)
+    _, nv = vnf_and_valid(N)
+    det = cascade_pass(P[pv], mat, model.stages).mean()
+    fp = cascade_pass(N[nv], mat, model.stages).mean()
+    print(f"{part}: holdout window det {det:.4f}, fp {fp:.5f}")
+    if det < 0.9:
+        raise SystemExit(f"{part}: detection rate too low, not shipping")
+    write_cascade_xml(out_path, model)
+    print(f"{part}: wrote {out_path}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    default_out = os.path.join(os.path.dirname(__file__), "..",
+                               "nubomedia_vca_tpu", "assets", "haarcascades")
+    ap.add_argument("--out-dir", default=default_out)
+    ap.add_argument("--parts", nargs="*", default=list(SPECS))
+    ap.add_argument("--seed", type=int, default=0)
+    ns = ap.parse_args(argv)
+    os.makedirs(ns.out_dir, exist_ok=True)
+    for part in ns.parts:
+        train_one(part, os.path.join(ns.out_dir, SPECS[part]), ns.seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
