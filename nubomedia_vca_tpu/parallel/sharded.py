@@ -61,18 +61,21 @@ def make_sharded_train_step(optimizer, mesh: Mesh, params, opt_state):
     """Returns (train_step_fn, sharded_params, sharded_opt_state) with
     dp (batch) × tp (head features) shardings applied."""
     p_shard = cnn_param_shardings(mesh, params)
-    # Optimizer state (adam mu/nu are param-shaped trees) mirrors the param
-    # shardings so the tp-sharded head's moments stay sharded too; scalar
-    # state (step count) and anything param-unlike is replicated.
-    by_shape = {}
-    for pl, sl in zip(jax.tree.leaves(params), jax.tree.leaves(p_shard)):
-        by_shape.setdefault(tuple(pl.shape), sl)
+    # Optimizer state: adam's mu/nu are pytrees with the SAME STRUCTURE as
+    # params, so any opt-state subtree that is structurally a param tree
+    # mirrors the param shardings LEAF-FOR-LEAF (structural identity, not
+    # shape lookup — two params with equal shapes but different shardings
+    # map correctly); scalar state (step count) and anything param-unlike
+    # is replicated.
+    p_treedef = jax.tree.structure(params)
 
-    def opt_spec(leaf):
-        return by_shape.get(tuple(getattr(leaf, "shape", ())),
-                            replicated(mesh))
+    def _is_param_tree(x):
+        return jax.tree.structure(x) == p_treedef
 
-    o_shard = jax.tree.map(opt_spec, opt_state)
+    o_shard = jax.tree.map(
+        lambda sub: (p_shard if _is_param_tree(sub)
+                     else jax.tree.map(lambda _: replicated(mesh), sub)),
+        opt_state, is_leaf=_is_param_tree)
     params = jax.device_put(params, p_shard)
     opt_state = jax.device_put(opt_state, o_shard)
 

@@ -20,10 +20,16 @@ from ..utils.tracing import trace, count
 
 class StreamFeeder:
     def __init__(self, width: int, height: int, batch: int = 16,
-                 capacity: int = 512):
+                 capacity: int = 512, work: tuple[int, int] | None = None):
+        """work=(work_w, work_h): downscale at push (bit-exact
+        INTER_LINEAR_EXACT, same tables as ops/resize.py) so batches are
+        working-resolution luma and H2D traffic shrinks ~(W/work_w)² —
+        the device resize becomes an identity, results unchanged."""
         self.w, self.h = width, height
         self.batch = batch
         self.ingest = make_ingest(width, height, capacity)
+        if work is not None:
+            self.ingest.set_work(*work)
         self._stop = threading.Event()
 
     def push(self, stream: int, frame, pts: int = 0):

@@ -206,7 +206,9 @@ def test_media_output_annotated_frames_over_tcp():
                 assert chunk, "connection closed before all annotated frames"
                 buf += chunk
         out = np.frombuffer(buf, np.uint8).reshape(N, H, W)
-        assert pipe._runner.frames_sent == N
+        # the writer can deliver the last frame's bytes before the runner
+        # thread increments the counter — poll instead of asserting raw
+        assert _wait(lambda: pipe._runner.frames_sent == N, timeout=10)
     finally:
         pipe.stopMedia()
 
