@@ -113,6 +113,8 @@ class MediaRunner:
             if hasattr(model, "work_w"):            # FaceDetector
                 res.add((model.work_w, model.work_h))
             elif hasattr(model, "WORK_W"):          # CnnFaceDetector
+                if getattr(model, "multi_scale", False):
+                    return None   # the 640-wide pass needs full frames
                 res.add((model.WORK_W, model.WORK_H))
             else:                                   # parts / tracker
                 return None

@@ -59,6 +59,27 @@ def test_rpc_setters_preserve_track_state():
     assert cfg.track_threshold == 45 and cfg.view == 0
 
 
+def test_reconfigure_swaps_engine_keeps_tracks():
+    """Geometry knobs swap the (cached, stateless) engine on the live
+    model; temporal state is untouched. No detection runs — engine
+    construction is host-side table building."""
+    from nubomedia_vca_tpu.models.face import FaceDetector
+
+    det = FaceDetector((W, H))
+    old_engine = det.engine
+    tracks = det.tracks
+    cfg = det.config
+    cfg.width_to_process = 320
+    det.reconfigure(cfg)
+    assert det.work_w == 320 and det.scale_back == 2.0
+    assert det.engine is not old_engine
+    assert det.tracks is tracks
+    # reverting restores the SAME cached engine object
+    cfg.width_to_process = 160
+    det.reconfigure(cfg)
+    assert det.engine is old_engine
+
+
 def test_reconfigure_updates_gop_and_gate():
     from nubomedia_vca_tpu.models.face import FaceDetector, FaceDetectorConfig
 
