@@ -317,19 +317,9 @@ def phase_e2e_down(B):
     t0 = time.perf_counter()
     for hr in host_results:
         host_side(hr)
-    track_fps = 4 * DB / max(time.perf_counter() - t0, 1e-9)
-
-    # ---- stage 4: honest single-window sync loop (degraded harness mode)
-    sync_batches = 3
-    t0 = time.perf_counter()
-    for k in range(sync_batches):
-        v = frames_bgr[k % B].copy()
-        v[::7, :, :] ^= 1           # distinct data each batch
-        for i in range(DB):
-            ingest.push(i % n_streams, v, pts=i)
-        fr, _, _ = ingest.collect(DB, min_frames=DB, wait_ms=4000)
-        host_side(step_grouped(jnp.asarray(fr)))
-    sync_fps = sync_batches * DB / (time.perf_counter() - t0)
+    track_fps = (len(host_results) * DB
+                 / max(time.perf_counter() - t0, 1e-9)) \
+        if host_results else float("inf")
 
     e2e = min(async_fps, h2d_cap_fps, track_fps)
     print(json.dumps({
@@ -343,6 +333,20 @@ def phase_e2e_down(B):
     }), flush=True)
     _emit("e2e_hostloop_fps", round(e2e, 1), "frames/s",
           round(e2e / 1000.0, 3))
+
+    # ---- stage 4: honest single-window sync loop (degraded harness mode;
+    # kept small and emitted LAST — the degraded replay costs ~0.3-1.3
+    # s/frame here and must not cost the phase its main metric on timeout)
+    sync_batches = 2
+    t0 = time.perf_counter()
+    for k in range(sync_batches):
+        v = frames_bgr[k % B].copy()
+        v[::7, :, :] ^= 1           # distinct data each batch
+        for i in range(DB):
+            ingest.push(i % n_streams, v, pts=i)
+        fr, _, _ = ingest.collect(DB, min_frames=DB, wait_ms=4000)
+        host_side(step_grouped(jnp.asarray(fr)))
+    sync_fps = sync_batches * DB / (time.perf_counter() - t0)
     _emit("e2e_hostloop_sync_fps_tunnel", round(sync_fps, 1), "frames/s",
           round(sync_fps / 1000.0, 3))
 
@@ -444,9 +448,19 @@ def main():
         return
     B = int(args[0]) if args else 64
     for name in PHASE_ORDER:
-        r = subprocess.run(
-            [sys.executable, __file__, "--phase", name, str(B)],
-            capture_output=True, text=True, timeout=1800)
+        # a phase that hangs (tunnel congestion) must not take the
+        # remaining phases down with it — especially not the headline
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--phase", name, str(B)],
+                capture_output=True, text=True, timeout=2400)
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout or b""
+            sys.stdout.write(out.decode() if isinstance(out, bytes) else out)
+            sys.stdout.flush()
+            print(f"phase {name} timed out after {e.timeout}s",
+                  file=sys.stderr)
+            continue
         sys.stdout.write(r.stdout)
         sys.stdout.flush()
         if r.returncode != 0:

@@ -68,6 +68,7 @@ class MediaRunner:
         self._thread = None
         self.port = None
         self.output = False
+        self._downscale_res = None
         self.frames_processed = 0
         self.frames_sent = 0
         self.on_annotated = None   # callback(frames [B,H,W], stream) hook
@@ -85,10 +86,12 @@ class MediaRunner:
         if output and downscale:
             raise ValueError("output rendering needs full-resolution "
                              "frames; downscale must stay off")
-        self.output = bool(output)
         if downscale:
-            self.enable_ingest_downscale()
+            self.enable_ingest_downscale()   # validates before any socket
         self.port = self.ingest.listen(port, channels)
+        # state flips only after the listen socket is actually up — a
+        # failed listen() must not leave the runner half-configured
+        self.output = bool(output)
         self._start()
         return self.port
 
@@ -105,6 +108,7 @@ class MediaRunner:
                 "ingest downscale needs every element to share one working "
                 "resolution (face/CNN detectors only)")
         self.ingest.set_work(*res)
+        self._downscale_res = res
 
     def _common_work_resolution(self):
         res = set()
@@ -196,17 +200,20 @@ class MediaRunner:
         """Draw every view-enabled element's detections in registration
         order (each reference element draws in place as the frame passes
         through it) and return the GRAY8 result to the stream."""
+        # the batch stays a DEVICE array across the whole render chain
+        # (each el.render is a pure device op); one host transfer at the end
         out = frames
         for el, res in rendered:
             try:
-                out = np.asarray(el.render(out, res))
+                out = el.render(out, res)
             except Exception:  # noqa: BLE001
                 import traceback
                 traceback.print_exc()
-        if out.ndim == 4:      # costume overlay upgraded to BGR; back to Y
+        if getattr(out, "ndim", 3) == 4:   # costume overlay → BGR; back to Y
             import jax.numpy as jnp
             from ..ops.color import bgr_to_gray
-            out = np.asarray(bgr_to_gray(jnp.asarray(out)))
+            out = bgr_to_gray(jnp.asarray(out))
+        out = np.asarray(out)
         if self.on_annotated is not None:
             self.on_annotated(out, stream)
         if self.output and hasattr(self.ingest, "send"):
@@ -214,10 +221,27 @@ class MediaRunner:
                 if self.ingest.send(stream, fr):
                     self.frames_sent += 1
 
+    def _check_downscale_still_valid(self) -> None:
+        """A mid-stream RPC setter (widthToProcess, setMultiScale, a new
+        element) can invalidate the resolution the ingest downscale was
+        locked to; detect it each loop turn and auto-heal by reverting to
+        full-resolution ingest (set_work clears the stale-shape queue)
+        rather than silently feeding wrong-resolution frames."""
+        if self._downscale_res is None:
+            return
+        res = self._common_work_resolution()
+        if res != self._downscale_res:
+            print("media_loop: element reconfiguration invalidated the "
+                  f"ingest downscale {self._downscale_res} -> full-res "
+                  "ingest restored", flush=True)
+            self.ingest.set_work(0, 0)
+            self._downscale_res = None
+
     def _loop(self) -> None:
         import time
 
         while not self._stop.is_set():
+            self._check_downscale_still_valid()
             frames, pts, streams = self.ingest.collect(
                 self.batch, min_frames=1, wait_ms=50)
             if frames.shape[0] == 0:

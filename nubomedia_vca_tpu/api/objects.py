@@ -367,6 +367,8 @@ class CnnDetectorConfig:
     threshold: float = 0.5       # objectness threshold
     quantized: int = 0           # 1 → int8 serving path (models/quant.py)
     multi_scale: int = 0         # 1 → 320+640 two-scale inference
+    detect_event: int = 0        # shared gating knobs (models/base.py)
+    process_x_every_4_frames: int = 4
     view: int = 1
     activate_events: int = 0
     events_ms: int = 30001
@@ -393,7 +395,10 @@ class NuboCnnFaceDetector(_FilterObject):
                else CnnFaceDetector)
         return cls(self.pipeline.frame_size,
                    threshold=self._config.threshold,
-                   multi_scale=bool(self._config.multi_scale))
+                   multi_scale=bool(self._config.multi_scale),
+                   detect_event=self._config.detect_event,
+                   process_x_every_4_frames=(
+                       self._config.process_x_every_4_frames))
 
     def _reconfigure_model(self):
         from ..models.quant import QuantizedCnnFaceDetector
@@ -408,7 +413,10 @@ class NuboCnnFaceDetector(_FilterObject):
         else:
             self._model.reconfigure(
                 threshold=self._config.threshold,
-                multi_scale=bool(self._config.multi_scale))
+                multi_scale=bool(self._config.multi_scale),
+                detect_event=self._config.detect_event,
+                process_x_every_4_frames=(
+                    self._config.process_x_every_4_frames))
 
     def showFaces(self, viewFaces: int):
         self._set(view=int(viewFaces))

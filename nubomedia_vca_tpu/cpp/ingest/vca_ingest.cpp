@@ -65,13 +65,19 @@ struct Slot {
 
 // One full-duplex TCP connection (= one stream). The reader thread owns the
 // fd lifecycle: it joins the writer before closing, so the fd is closed
-// exactly once and never while the writer still uses it.
+// exactly once and never while the writer still uses it. The output queue
+// is BOUNDED with a drop-oldest policy (out_dropped counts) — a client
+// that feeds frames but reads its annotated return stream slowly (or
+// never: a one-way ffmpeg feeder) must not grow process memory without
+// bound.
 struct Conn {
+  static constexpr size_t kMaxOutQueue = 64;
   int fd = -1;
   std::deque<std::vector<uint8_t>> outq;
   std::mutex mu;
   std::condition_variable cv;
   bool closed = false;
+  int64_t out_dropped = 0;
 };
 
 // Bilinear INTER_LINEAR_EXACT tables — the same fixed-point scheme as
@@ -106,12 +112,19 @@ LinTab make_lin_tab(int src, int dst) {
   return t;
 }
 
+// Immutable downscale-table snapshot, swapped atomically under Ingest::mu;
+// pushes take a shared_ptr so a concurrent set_work can never free tables
+// out from under an in-flight resize.
+struct WorkTabs {
+  int w, h;
+  LinTab tx, ty;
+};
+
 struct Ingest {
   int width, height, capacity;
-  // optional downscale-at-push target (0 = off); when set, collect()
+  // optional downscale-at-push target (null = off); when set, collect()
   // yields [B, work_h, work_w] and only that much luma crosses H2D
-  int work_w = 0, work_h = 0;
-  LinTab tab_x, tab_y;
+  std::shared_ptr<const WorkTabs> work;
   std::mutex mu;
   std::condition_variable cv;
   std::deque<Slot> ready;
@@ -172,17 +185,20 @@ void* vca_ingest_create(int width, int height, int capacity) {
 // Call before pushing; collect() buffers must then be [B, work_h, work_w].
 void vca_ingest_set_work(void* p, int work_w, int work_h) {
   auto* h = static_cast<Ingest*>(p);
-  std::lock_guard<std::mutex> lk(h->mu);
+  std::shared_ptr<const WorkTabs> tabs;
   if (work_w > 0 && work_h > 0 &&
       (work_w != h->width || work_h != h->height)) {
-    h->work_w = work_w;
-    h->work_h = work_h;
-    h->tab_x = make_lin_tab(h->width, work_w);
-    h->tab_y = make_lin_tab(h->height, work_h);
-  } else {
-    h->work_w = h->work_h = 0;
+    auto t = std::make_shared<WorkTabs>();
+    t->w = work_w;
+    t->h = work_h;
+    t->tx = make_lin_tab(h->width, work_w);
+    t->ty = make_lin_tab(h->height, work_h);
+    tabs = t;
   }
-  h->ready.clear();  // queued frames have the old shape
+  std::lock_guard<std::mutex> lk(h->mu);
+  h->work = tabs;
+  h->ready.clear();  // queued frames have the old shape (collect also
+                     // shape-guards against any in-flight stragglers)
 }
 
 void vca_ingest_stop_listen(void* p) {
@@ -267,30 +283,29 @@ int vca_ingest_push(void* p, int stream, const uint8_t* data, int stride,
   Slot s;
   s.pts = pts;
   s.stream = stream;
-  int ww, wh;
+  std::shared_ptr<const WorkTabs> wt;
   {
     std::lock_guard<std::mutex> lk(h->mu);
-    ww = h->work_w;
-    wh = h->work_h;
+    wt = h->work;
   }
-  if (ww > 0 && channels != 1) {
+  if (wt && channels != 1) {
     // fused convert+downscale (touches only the bilinear tap pixels)
-    s.gray.resize(static_cast<size_t>(ww) * wh);
-    fused_gray_resize(data, stride, channels, s.gray.data(), h->tab_x,
-                      h->tab_y, ww, wh);
-  } else if (ww > 0) {
+    s.gray.resize(static_cast<size_t>(wt->w) * wt->h);
+    fused_gray_resize(data, stride, channels, s.gray.data(), wt->tx,
+                      wt->ty, wt->w, wt->h);
+  } else if (wt) {
     // gray input: resize straight from the caller's buffer
-    s.gray.resize(static_cast<size_t>(ww) * wh);
+    s.gray.resize(static_cast<size_t>(wt->w) * wt->h);
     if (stride == w) {
-      resize_linear_exact(data, w, ht, s.gray.data(), h->tab_x, h->tab_y,
-                          ww, wh);
+      resize_linear_exact(data, w, ht, s.gray.data(), wt->tx, wt->ty,
+                          wt->w, wt->h);
     } else {
       std::vector<uint8_t> gray(static_cast<size_t>(w) * ht);
       for (int y = 0; y < ht; y++)
         std::memcpy(gray.data() + static_cast<size_t>(y) * w,
                     data + static_cast<size_t>(y) * stride, w);
-      resize_linear_exact(gray.data(), w, ht, s.gray.data(), h->tab_x,
-                          h->tab_y, ww, wh);
+      resize_linear_exact(gray.data(), w, ht, s.gray.data(), wt->tx,
+                          wt->ty, wt->w, wt->h);
     }
   } else {
     std::vector<uint8_t> gray(static_cast<size_t>(w) * ht);
@@ -338,11 +353,17 @@ int vca_ingest_collect(void* p, uint8_t* out, int64_t* pts_out,
     h->cv.wait_for(lk, std::chrono::milliseconds(wait_ms), have);
   }
   const size_t frame_sz =
-      h->work_w > 0 ? static_cast<size_t>(h->work_w) * h->work_h
-                    : static_cast<size_t>(h->width) * h->height;
+      h->work ? static_cast<size_t>(h->work->w) * h->work->h
+              : static_cast<size_t>(h->width) * h->height;
   int n = 0;
   while (n < max_frames && !h->ready.empty()) {
     Slot& s = h->ready.front();
+    if (s.gray.size() != frame_sz) {
+      // straggler pushed around a set_work transition: wrong shape, drop
+      h->ready.pop_front();
+      h->dropped++;
+      continue;
+    }
     std::memcpy(out + n * frame_sz, s.gray.data(), frame_sz);
     pts_out[n] = s.pts;
     stream_out[n] = s.stream;
@@ -372,6 +393,10 @@ int vca_ingest_send(void* p, int stream, const uint8_t* data, int nbytes) {
   }
   std::lock_guard<std::mutex> clk(c->mu);
   if (c->closed || c->fd < 0) return -1;
+  if (c->outq.size() >= Conn::kMaxOutQueue) {
+    c->outq.pop_front();   // drop-oldest: slow/absent reader backpressure
+    c->out_dropped++;
+  }
   c->outq.emplace_back(data, data + nbytes);
   c->cv.notify_all();
   return 0;

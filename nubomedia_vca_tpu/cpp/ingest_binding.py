@@ -148,7 +148,9 @@ class PythonIngest:
         self._q = deque()
         self._mu = threading.Lock()
         self._conns: dict[int, "object"] = {}
+        self._out_queues: dict[int, deque] = {}
         self.dropped = 0
+        self.out_dropped = 0
 
     def set_work(self, work_w: int = 0, work_h: int = 0) -> None:
         """Downscale-at-push (same semantics as NativeIngest.set_work);
@@ -161,18 +163,43 @@ class PythonIngest:
         with self._mu:
             self._q.clear()   # queued frames have the old shape
 
+    MAX_OUT_QUEUE = 64   # drop-oldest bound, mirrors the native Conn queue
+
     def send(self, stream: int, data) -> bool:
-        """Write annotated frame bytes back on the stream's TCP connection
-        (media-plane output); False without a live connection."""
+        """Queue annotated frame bytes for write-back on the stream's TCP
+        connection (media-plane output); False without a live connection.
+        A per-connection writer thread drains a BOUNDED queue so a slow or
+        absent reader can neither block the media loop nor grow memory."""
         conn = self._conns.get(stream)
         if conn is None:
             return False
-        try:
-            conn.sendall(np.ascontiguousarray(data, np.uint8).tobytes())
-            return True
-        except OSError:
-            self._conns.pop(stream, None)
-            return False
+        q = self._out_queues.get(stream)
+        if q is None:
+            q = self._out_queues[stream] = deque()
+
+            def writer():
+                import time
+                while stream in self._conns:
+                    try:
+                        buf = q.popleft()
+                    except IndexError:
+                        time.sleep(0.005)
+                        continue
+                    try:
+                        self._conns[stream].sendall(buf)
+                    except (OSError, KeyError):
+                        self._conns.pop(stream, None)
+                        return
+                    finally:
+                        pass
+                self._out_queues.pop(stream, None)
+
+            threading.Thread(target=writer, daemon=True).start()
+        if len(q) >= self.MAX_OUT_QUEUE:
+            q.popleft()
+            self.out_dropped += 1
+        q.append(np.ascontiguousarray(data, np.uint8).tobytes())
+        return True
 
     def push(self, stream: int, frame: np.ndarray, pts: int = 0) -> None:
         frame = np.asarray(frame)

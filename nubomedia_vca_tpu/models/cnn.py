@@ -227,7 +227,9 @@ class CnnFaceDetector:
 
     def __init__(self, frame_size: tuple[int, int], params: dict | None = None,
                  checkpoint: str | None = None, threshold: float = 0.5,
-                 n_streams: int = 1, multi_scale: bool = False):
+                 n_streams: int = 1, multi_scale: bool = False,
+                 detect_event: int = 0, process_x_every_4_frames: int = 4):
+        from .base import GopScheduler, EventGate
         from .face import FaceTracks
 
         self.frame_w, self.frame_h = frame_size
@@ -243,16 +245,24 @@ class CnnFaceDetector:
         self.multi_scale = bool(multi_scale)
         self.scale_back = self.frame_w / self.WORK_W
         self.tracks = [FaceTracks() for _ in range(n_streams)]
+        # same GOP-skip / event-gate scheduling as the cascade face
+        # detector (the remote object exposes the shared detectByEvent /
+        # processXevery4Frames knobs; they must not be dead here)
+        self.gop = GopScheduler(process_x_every_4_frames)
+        self.gate = EventGate(detect_event, process_x_every_4_frames,
+                              scaled=False)
         self._rejit()
 
     def _rejit(self):
         self._detect_jit = jax.jit(self._device_detect)
 
     def reconfigure(self, threshold: float | None = None,
-                    multi_scale: bool | None = None) -> None:
-        """Apply threshold / multi-scale changes to the LIVE detector
-        (track IDs preserved). Both are baked into the traced program, so
-        the jit wrapper is rebuilt on change."""
+                    multi_scale: bool | None = None,
+                    detect_event: int | None = None,
+                    process_x_every_4_frames: int | None = None) -> None:
+        """Apply knob changes to the LIVE detector (track IDs, GOP clock
+        and gate budget preserved). Threshold/multi-scale are baked into
+        the traced program, so the jit wrapper is rebuilt on change."""
         changed = False
         if threshold is not None and threshold != self.threshold:
             self.threshold = threshold
@@ -260,6 +270,11 @@ class CnnFaceDetector:
         if multi_scale is not None and bool(multi_scale) != self.multi_scale:
             self.multi_scale = bool(multi_scale)
             changed = True
+        if detect_event is not None:
+            self.gate.enabled = bool(detect_event)
+        if process_x_every_4_frames is not None:
+            self.gop.x = int(process_x_every_4_frames)
+            self.gate.x = int(process_x_every_4_frames)
         if changed:
             self._rejit()
 
@@ -310,10 +325,25 @@ class CnnFaceDetector:
         return out
 
     def process(self, gray, stream: int = 0, events=None):
+        """Full per-frame pipeline with GOP skip, event gate and tracking
+        — the same schedule as FaceDetector.process (events: upstream
+        motion events refueling the detect-event gate)."""
+        from .base import gated_gop_mask
         from .face import FaceTracks
 
-        dets = self.detect_boxes(gray)
+        gray = np.asarray(gray)
+        if gray.ndim == 2:
+            gray = gray[None]
+        n = gray.shape[0]
+        mask = gated_gop_mask(self.gop, self.gate, n, events)
         while stream >= len(self.tracks):
             self.tracks.append(FaceTracks())
         tracks = self.tracks[stream]
-        return [list(tracks.update(d, 40)) for d in dets]
+        results = []
+        det_iter = iter(self.detect_boxes(gray[mask]) if mask.any() else [])
+        for i in range(n):
+            if mask[i]:
+                results.append(list(tracks.update(next(det_iter), 40)))
+            else:
+                results.append(list(tracks.faces))
+        return results

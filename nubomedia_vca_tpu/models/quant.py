@@ -90,10 +90,12 @@ class QuantizedCnnFaceDetector(cnn.CnnFaceDetector):
 
     def __init__(self, frame_size, params=None, checkpoint=None,
                  threshold: float = 0.5, n_streams: int = 1,
-                 multi_scale: bool = False):
+                 multi_scale: bool = False, detect_event: int = 0,
+                 process_x_every_4_frames: int = 4):
         super().__init__(frame_size, params=params, checkpoint=checkpoint,
                          threshold=threshold, n_streams=n_streams,
-                         multi_scale=multi_scale)
+                         multi_scale=multi_scale, detect_event=detect_event,
+                         process_x_every_4_frames=process_x_every_4_frames)
         self.qparams = quantize_params(self.params)
         self._rejit()
 

@@ -120,6 +120,25 @@ def test_cnn_multi_scale_finds_small_faces():
     assert n_multi >= 6   # measured 30/32 vs 11/32 on the larger sweep
 
 
+def test_cnn_detect_event_gating():
+    """detectByEvent/processXevery4Frames are LIVE on the CNN detector
+    (same GOP/gate schedule as the cascade face detector) — they were
+    dead knobs before round 3's review pass."""
+    from nubomedia_vca_tpu.models.cnn import CnnFaceDetector
+    from nubomedia_vca_tpu.models import distill
+
+    W2, H2 = 320, 240
+    rng = np.random.RandomState(1)
+    img = np.full((H2, W2), 120, np.uint8)
+    distill._draw_face(img, 160, 120, 60, rng)
+    clip = np.stack([img] * 4)
+    det = CnnFaceDetector((W2, H2), detect_event=1)
+    out = det.process(clip)
+    assert all(len(f) == 0 for f in out), "gated detector ran with no event"
+    out = det.process(clip, events=[object(), None, None, None])
+    assert any(len(f) > 0 for f in out), "event did not refuel the gate"
+
+
 def test_cnn_set_multi_scale_live():
     from nubomedia_vca_tpu.api.objects import (MediaPipeline,
                                                NuboCnnFaceDetector)

@@ -58,11 +58,14 @@ def _load_gray(path_or_array):
 
 def _builtin_images():
     """Real photographs available offline: scikit-learn's sample images
-    (china.jpg, flower.jpg — natural scenes, no human faces)."""
+    (china.jpg, flower.jpg — natural scenes, no human faces). sklearn
+    decodes to RGB; flip to BGR so _load_gray's BGR luma weights match
+    what the production BGR ingest path would produce."""
     from sklearn.datasets import load_sample_images
 
     ds = load_sample_images()
-    return list(zip(ds.filenames, ds.images))
+    return [(name, img[..., ::-1]) for name, img in
+            zip(ds.filenames, ds.images)]
 
 
 def evaluate(images, multi_scale=False, quantized=False, threshold=0.5,
