@@ -129,6 +129,20 @@ class MediaRunner:
         self.ingest.push(stream, frame, pts)
         self._start()
 
+    def stats(self) -> dict:
+        """Serving counters: processed/sent frames, queue depth, and the
+        two backpressure drop counters (input drop-oldest; annotated
+        frames dropped on slow readers)."""
+        return {
+            "framesProcessed": self.frames_processed,
+            "framesSent": self.frames_sent,
+            "pending": self.ingest.pending(),
+            "dropped": int(getattr(self.ingest, "dropped", 0)),
+            "outDropped": int(getattr(self.ingest, "out_dropped", 0)),
+            "downscale": list(self._downscale_res or ()),
+            "output": self.output,
+        }
+
     def _start(self) -> None:
         if self._thread is None:
             self._thread = threading.Thread(target=self._loop, daemon=True)

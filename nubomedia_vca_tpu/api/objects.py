@@ -81,6 +81,10 @@ class MediaPipeline:
     def framesProcessed(self) -> int:
         return self._runner.frames_processed if self._runner else 0
 
+    def getStats(self) -> dict:
+        """RPC-invokable serving counters (media_loop.MediaRunner.stats)."""
+        return self._runner.stats() if self._runner else {}
+
     def stopMedia(self):
         if self._runner is not None:
             self._runner.stop()

@@ -238,6 +238,19 @@ int64_t vca_ingest_dropped(void* p) {
   return h->dropped;
 }
 
+// Total annotated frames dropped across live connections because a client
+// read its return stream too slowly (Conn::kMaxOutQueue drop-oldest).
+int64_t vca_ingest_out_dropped(void* p) {
+  auto* h = static_cast<Ingest*>(p);
+  std::lock_guard<std::mutex> lk(h->conn_mu);
+  int64_t total = 0;
+  for (auto& kv : h->conns) {
+    std::lock_guard<std::mutex> clk(kv.second->mu);
+    total += kv.second->out_dropped;
+  }
+  return total;
+}
+
 namespace {
 
 // Fused colorspace + downscale: when pushing BGR/BGRA frames with a work

@@ -43,6 +43,8 @@ def _load():
     lib.vca_ingest_pending.argtypes = [ctypes.c_void_p]
     lib.vca_ingest_dropped.restype = ctypes.c_int64
     lib.vca_ingest_dropped.argtypes = [ctypes.c_void_p]
+    lib.vca_ingest_out_dropped.restype = ctypes.c_int64
+    lib.vca_ingest_out_dropped.argtypes = [ctypes.c_void_p]
     lib.vca_ingest_listen.restype = ctypes.c_int
     lib.vca_ingest_listen.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                       ctypes.c_int]
@@ -112,6 +114,11 @@ class NativeIngest:
     @property
     def dropped(self) -> int:
         return _LIB.vca_ingest_dropped(self._h)
+
+    @property
+    def out_dropped(self) -> int:
+        """Annotated frames dropped by slow readers (live connections)."""
+        return _LIB.vca_ingest_out_dropped(self._h)
 
     def listen(self, port: int = 0, channels: int = 1) -> int:
         """Open a loopback TCP port accepting raw-video byte streams (one

@@ -164,6 +164,15 @@ def _rects_overlap(a, b):
                 or ay + ah <= by or by + bh <= ay)
 
 
+def _iou(a, b):
+    ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
+    bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
+    iw = max(0, min(ax1, bx1) - max(ax0, bx0))
+    ih = max(0, min(ay1, by1) - max(ay0, by0))
+    inter = iw * ih
+    return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
+
+
 def make_samplers(part: str, window=(20, 20)):
     """(positive_sampler(n, rng), negative_sampler(n, rng)) for
     part ∈ {'nose', 'ear', 'profile'}. Negatives are crops of everything
@@ -191,6 +200,20 @@ def make_samplers(part: str, window=(20, 20)):
             cands = []
             if part == "nose":
                 cands += list(geo["eyes"]) + [geo["mouth"]]
+            if part != "profile":
+                # LOCALIZATION negatives: off-center / wrong-scale crops
+                # of the part itself (IoU-filtered below) teach the
+                # cascade to fire only when centered, tightening the
+                # grouped-box localization the ROI pipeline reports
+                x, y, w2, h2 = avoid
+                for _ in range(8):
+                    dx = int(rng.choice([-1, 1])
+                             * rng.uniform(0.45, 1.0) * w2)
+                    dy = int(rng.choice([-1, 1])
+                             * rng.uniform(0.45, 1.0) * h2)
+                    cands.append((x + dx, y + dy, w2, h2))
+                cands.append((x - w2 // 2, y - h2 // 2, 2 * w2, 2 * h2))
+                cands.append((x - w2, y - h2, 3 * w2, 3 * h2))
             H, W = img.shape
             for _ in range(40):   # many crops per scene: scene synthesis
                 sz = int(rng.randint(12, 160))   # dominates sampling cost
@@ -199,8 +222,8 @@ def make_samplers(part: str, window=(20, 20)):
             for box in cands:
                 if len(out) >= n:
                     break
-                if part != "profile" and _rects_overlap(box, avoid):
-                    continue
+                if part != "profile" and _iou(box, avoid) > 0.25:
+                    continue   # too part-like to be a negative
                 if part == "profile" and _rects_overlap(box, avoid):
                     # head sub-crops smaller than half the head are fine
                     # negatives; near-full-head crops are not
