@@ -102,11 +102,17 @@ class _FilterObject:
     INFO_NAME = "face"
 
     def __init__(self, mediaPipeline: MediaPipeline):
+        import threading
+
         self.pipeline = mediaPipeline
         self._listeners = {}
         self._rate = EventRateLimiter(30001)
         self._dirty = True
         self._model = None
+        # the reference guards property access + processing with a
+        # per-element GRecMutex (kmsfacedetect.cpp:44-48,873-885): RPC
+        # setter threads and the media-loop thread contend here too
+        self._lock = threading.RLock()
         mediaPipeline.register(self)
 
     # --- knob plumbing ----------------------------------------------------
@@ -120,13 +126,14 @@ class _FilterObject:
         model via its reconfigure() — mid-stream RPC setters preserve track
         IDs / temporal merges / MHI state, matching the reference's
         g_object_set on a running element (kmsfacedetect.cpp:504-582)."""
-        if self._model is None:
-            self._model = self._build_model()
-            self._dirty = False
-        elif self._dirty:
-            self._reconfigure_model()
-            self._dirty = False
-        return self._model
+        with self._lock:
+            if self._model is None:
+                self._model = self._build_model()
+                self._dirty = False
+            elif self._dirty:
+                self._reconfigure_model()
+                self._dirty = False
+            return self._model
 
     def _reconfigure_model(self):
         self._model.reconfigure(self._config)
@@ -236,8 +243,9 @@ class NuboFaceDetector(_FilterObject):
         self._set(area_threshold=int(threshold))
 
     def process(self, frames, stream: int = 0, events=None):
-        model = self._ensure_model()
-        res = model.process(frames, stream=stream, events=events)
+        with self._lock:
+            model = self._ensure_model()
+            res = model.process(frames, stream=stream, events=events)
         for faces in res:
             self._emit([("face", f.rect()) for f in faces])
         return res
@@ -245,8 +253,10 @@ class NuboFaceDetector(_FilterObject):
 
 class _PartObject(_FilterObject):
     def process(self, frames, face_boxes=None, stream: int = 0):
-        model = self._ensure_model()
-        res = model.process(frames, face_boxes=face_boxes, stream=stream)
+        with self._lock:
+            model = self._ensure_model()
+            res = model.process(frames, face_boxes=face_boxes,
+                                stream=stream)
         for frame_res in res:
             self._emit([(k, r) for k, rects in frame_res.items()
                         for r in rects])
@@ -356,8 +366,9 @@ class NuboTracker(_FilterObject):
         self._rate = EventRateLimiter(int(time))
 
     def process(self, frames, stream: int = 0):
-        model = self._ensure_model()
-        res = model.process(frames, stream=stream)
+        with self._lock:
+            model = self._ensure_model()
+            res = model.process(frames, stream=stream)
         for blobs in res:
             self._emit([("tracker", b) for b in blobs])
         return res
@@ -435,8 +446,9 @@ class NuboCnnFaceDetector(_FilterObject):
         self._set(multi_scale=int(multiScale))
 
     def process(self, frames, stream: int = 0, events=None):
-        model = self._ensure_model()
-        res = model.process(frames, stream=stream, events=events)
+        with self._lock:
+            model = self._ensure_model()
+            res = model.process(frames, stream=stream, events=events)
         for faces in res:
             self._emit([("face", f.rect()) for f in faces])
         return res
