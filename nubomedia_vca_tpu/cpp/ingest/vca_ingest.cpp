@@ -416,9 +416,12 @@ int vca_ingest_send(void* p, int stream, const uint8_t* data, int nbytes) {
 }
 
 // Accept raw-video TCP connections on `port` (0 = ephemeral); each
-// connection becomes one stream whose fixed-size frames (W*H*channels
-// bytes, tightly packed) are pushed with pts = per-stream frame index.
-// Returns the bound port, or -1 on error.
+// connection becomes one stream whose fixed-size frames (tightly packed)
+// are pushed with pts = per-stream frame index. channels: 1 = GRAY8,
+// 3 = BGR, 4 = BGRA, -1 = I420/NV12 (W*H*3/2 bytes per frame; the luma
+// plane leads in both formats and is all the detectors consume — the
+// chroma tail is framed and discarded). Returns the bound port, -1 on
+// error.
 int vca_ingest_listen(void* p, int port, int channels) {
   auto* h = static_cast<Ingest*>(p);
   if (h->listen_fd >= 0) return -1;  // already listening
@@ -478,9 +481,13 @@ int vca_ingest_listen(void* p, int port, int channels) {
             lk.lock();
           }
         });
-        // reader: fixed-size frames -> push
-        const size_t frame_bytes = static_cast<size_t>(h->width) * h->height *
-                                   h->listen_channels;
+        // reader: fixed-size frames -> push (I420/NV12: luma + chroma
+        // tail; only the leading W*H luma is pushed)
+        const size_t luma_bytes =
+            static_cast<size_t>(h->width) * h->height;
+        const size_t frame_bytes =
+            h->listen_channels == -1 ? luma_bytes * 3 / 2
+                                     : luma_bytes * h->listen_channels;
         std::vector<uint8_t> buf(frame_bytes);
         int64_t pts = 0;
         while (!h->stop) {
@@ -491,9 +498,13 @@ int vca_ingest_listen(void* p, int port, int channels) {
             if (n <= 0) goto done;
             got += static_cast<size_t>(n);
           }
-          vca_ingest_push(h, stream, buf.data(),
-                          h->width * h->listen_channels, h->listen_channels,
-                          pts++);
+          if (h->listen_channels == -1) {
+            vca_ingest_push(h, stream, buf.data(), h->width, 1, pts++);
+          } else {
+            vca_ingest_push(h, stream, buf.data(),
+                            h->width * h->listen_channels,
+                            h->listen_channels, pts++);
+          }
         }
       done:
         {

@@ -122,9 +122,10 @@ class NativeIngest:
 
     def listen(self, port: int = 0, channels: int = 1) -> int:
         """Open a loopback TCP port accepting raw-video byte streams (one
-        connection per stream; W*H*channels bytes per frame) — the live
-        bridge for gst-launch tcpclientsink / ffmpeg rawvideo tcp://.
-        Returns the bound port."""
+        connection per stream; W*H*channels bytes per frame, or
+        channels=-1 for I420/NV12 at W*H*3/2 bytes with the leading luma
+        consumed) — the live bridge for gst-launch tcpclientsink / ffmpeg
+        rawvideo tcp://. Returns the bound port."""
         p = _LIB.vca_ingest_listen(self._h, port, channels)
         if p < 0:
             raise OSError("vca_ingest_listen failed (already listening?)")
@@ -243,7 +244,9 @@ class PythonIngest:
         return len(self._q)
 
     def listen(self, port: int = 0, channels: int = 1) -> int:
-        """Python fallback of NativeIngest.listen (same wire format)."""
+        """Python fallback of NativeIngest.listen (same wire format;
+        channels=-1 = I420/NV12: W*H*3/2 bytes per frame, leading luma
+        consumed, chroma tail framed and discarded)."""
         import socket
 
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -252,7 +255,8 @@ class PythonIngest:
         srv.listen(16)
         self._listen_sock = srv
         self._listen_stop = threading.Event()
-        frame_bytes = self.w * self.h * channels
+        luma = self.w * self.h
+        frame_bytes = luma * 3 // 2 if channels == -1 else luma * channels
 
         def reader(conn, stream):
             pts = 0
@@ -267,9 +271,10 @@ class PythonIngest:
                                 return
                             buf += chunk
                         frame = np.frombuffer(buf, np.uint8)
-                        frame = (frame.reshape(self.h, self.w)
-                                 if channels == 1
-                                 else frame.reshape(self.h, self.w, channels))
+                        if channels in (1, -1):
+                            frame = frame[:luma].reshape(self.h, self.w)
+                        else:
+                            frame = frame.reshape(self.h, self.w, channels)
                         self.push(stream, frame, pts)
                         pts += 1
             finally:

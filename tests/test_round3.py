@@ -335,6 +335,31 @@ def test_listen_output_with_downscale_rejected():
     pipe.stopMedia()
 
 
+def test_media_listener_i420_framing():
+    """channels=-1 frames the I420/NV12 wire format (W*H*3/2 bytes); the
+    leading luma plane is what the detectors consume (SURVEY.md §5:
+    host↔device transfer of I420/NV12 frames)."""
+    from nubomedia_vca_tpu.api.objects import MediaPipeline, NuboFaceDetector
+
+    pipe = MediaPipeline((W, H))
+    face = NuboFaceDetector(pipe)
+    face.activateServerEvents(1, 1)
+    evs = []
+    face.addEventListener("OnFace", evs.append)
+    luma = face_scene(W, H, faces=((320, 240, 100),), noise=5, seed=1)
+    chroma = np.full(W * H // 2, 128, np.uint8)   # flat U+V tail
+    i420 = luma.tobytes() + chroma.tobytes()
+    try:
+        port = pipe.listen(0, channels=-1)
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            for _ in range(4):
+                s.sendall(i420)
+            assert _wait(lambda: evs, timeout=300), "no event from I420 feed"
+    finally:
+        pipe.stopMedia()
+    assert "width" in evs[0]["wire"]
+
+
 # ------------------------------------------- tracker→face gating (serving)
 def test_serving_loop_tracker_refuels_face_gate():
     """A tracker element's motion events refuel a downstream face
