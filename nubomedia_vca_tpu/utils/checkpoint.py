@@ -49,15 +49,36 @@ def snapshot_detector(model) -> dict:
         ]
         state["gop_counter"] = model.gop.counter
         state["gate_budget"] = model.gate.budget
-    if hasattr(model, "_prev"):           # part detectors
+    if hasattr(model, "_streams"):        # part detectors (per-stream)
+        state["streams"] = {
+            int(sid): {
+                "prev": {k: list(v) for k, v in st.prev.items()},
+                "empty_count": dict(st.empty_count),
+                "gop_counter": st.gop.counter,
+                "gate_budget": st.gate.budget,
+            }
+            for sid, st in model._streams.items()
+        }
+        # stream-0 aliases keep old snapshots readable by old code
         state["prev"] = {k: list(v) for k, v in model._prev.items()}
         state["gop_counter"] = model.gop.counter
         state["gate_budget"] = model.gate.budget
-    if hasattr(model, "state") and hasattr(model, "frame_idx"):  # Tracker
-        state["mhi"] = np.asarray(model.state.mhi)
-        state["prev_gray"] = np.asarray(model.state.prev_gray)
-        state["initialized"] = bool(np.asarray(model.state.initialized))
-        state["frame_idx"] = model.frame_idx
+    if hasattr(model, "_states") and hasattr(model, "_frame_idx"):  # Tracker
+        state["tracker_streams"] = {
+            int(sid): {
+                "mhi": np.asarray(ts.mhi),
+                "prev_gray": np.asarray(ts.prev_gray),
+                "initialized": bool(np.asarray(ts.initialized)),
+                "frame_idx": model._frame_idx.get(sid, 0),
+            }
+            for sid, ts in model._states.items()
+        }
+        st0 = state["tracker_streams"].get(0)
+        if st0 is not None:   # stream-0 aliases (back-compat)
+            state["mhi"] = st0["mhi"]
+            state["prev_gray"] = st0["prev_gray"]
+            state["initialized"] = st0["initialized"]
+            state["frame_idx"] = st0["frame_idx"]
     return state
 
 
@@ -70,12 +91,29 @@ def restore_detector(model, state: dict) -> None:
             t.empty_frames = ts["empty_frames"]
         model.gop.counter = state.get("gop_counter", 0)
         model.gate.budget = state.get("gate_budget", 0)
-    if "prev" in state:
+    if "streams" in state:                # per-stream part state
+        for sid, snap in state["streams"].items():
+            st = model._stream_state(int(sid))
+            st.prev = {k: [tuple(r) for r in v]
+                       for k, v in snap["prev"].items()}
+            st.empty_count = dict(snap.get("empty_count", {}))
+            st.gop.counter = snap.get("gop_counter", 0)
+            st.gate.budget = snap.get("gate_budget", 0)
+    elif "prev" in state:                 # old single-stream snapshot
         model._prev = {k: [tuple(r) for r in v]
                        for k, v in state["prev"].items()}
         model.gop.counter = state.get("gop_counter", 0)
         model.gate.budget = state.get("gate_budget", 0)
-    if "mhi" in state:
+    if "tracker_streams" in state:
+        import jax.numpy as jnp
+        from ..models.tracker import TrackerState
+        for sid, snap in state["tracker_streams"].items():
+            model._states[int(sid)] = TrackerState(
+                prev_gray=jnp.asarray(snap["prev_gray"]),
+                mhi=jnp.asarray(snap["mhi"]),
+                initialized=jnp.asarray(snap["initialized"]))
+            model._frame_idx[int(sid)] = snap["frame_idx"]
+    elif "mhi" in state:                  # old single-stream snapshot
         import jax.numpy as jnp
         from ..models.tracker import TrackerState
         model.state = TrackerState(

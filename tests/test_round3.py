@@ -335,6 +335,42 @@ def test_listen_output_with_downscale_rejected():
     pipe.stopMedia()
 
 
+def test_checkpoint_roundtrips_per_stream_state():
+    """snapshot/restore covers EVERY stream's temporal state (round 3 made
+    part/tracker state per-stream; the snapshot must follow)."""
+    from nubomedia_vca_tpu.models.mouth import (MouthDetector,
+                                                MouthDetectorConfig)
+    from nubomedia_vca_tpu.models.tracker import Tracker
+    from nubomedia_vca_tpu.utils.checkpoint import (snapshot_detector,
+                                                    restore_detector)
+    from .fixtures import moving_blob_clip, FACE_XML
+
+    det = MouthDetector((W, H), MouthDetectorConfig(
+        mouth_cascade_path=FACE_XML))
+    det._active = det._stream_state(0)
+    det._merge_consecutive("mouth", [(10, 10, 20, 20)], 4)
+    det._active = det._stream_state(3)
+    det._merge_consecutive("mouth", [(50, 50, 30, 30)], 4)
+    snap = snapshot_detector(det)
+    det2 = MouthDetector((W, H), MouthDetectorConfig(
+        mouth_cascade_path=FACE_XML))
+    restore_detector(det2, snap)
+    assert det2._stream_state(0).prev["mouth"] == [(10, 10, 20, 20)]
+    assert det2._stream_state(3).prev["mouth"] == [(50, 50, 30, 30)]
+
+    tr = Tracker((320, 240))
+    clip = moving_blob_clip(3)
+    tr.process(clip, stream=0)
+    tr.process(clip, stream=2)
+    snap = snapshot_detector(tr)
+    tr2 = Tracker((320, 240))
+    restore_detector(tr2, snap)
+    assert set(tr2._states) == {0, 2}
+    assert tr2._frame_idx[2] == 3
+    np.testing.assert_array_equal(np.asarray(tr2._states[2].mhi),
+                                  np.asarray(tr._states[2].mhi))
+
+
 def test_media_listener_i420_framing():
     """channels=-1 frames the I420/NV12 wire format (W*H*3/2 bytes); the
     leading luma plane is what the detectors consume (SURVEY.md §5:
