@@ -473,6 +473,11 @@ def phase_cnn(B):
     i8 = _throughput(jax.jit(det8._device_detect_int8), frames, B)
     _emit("cnn_int8_720p_fps", round(i8, 1), "frames/s",
           round(i8 / 1000.0, 3))
+    from nubomedia_vca_tpu.models import cnn_parts as parts_mod
+    detp = parts_mod.CnnPartDetector((W, H))
+    fparts = _throughput(jax.jit(detp._device_detect), frames, B)
+    _emit("cnn_parts_720p_fps", round(fparts, 1), "frames/s",
+          round(fparts / 1000.0, 3))
 
 
 PHASES = {

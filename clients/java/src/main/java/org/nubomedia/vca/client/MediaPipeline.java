@@ -9,6 +9,10 @@ public class MediaPipeline extends RemoteObject {
     return new NuboCnnFaceDetector(client, client.create("NuboCnnFaceDetector", id));
   }
 
+  public NuboCnnPartDetector createNuboCnnPartDetector() {
+    return new NuboCnnPartDetector(client, client.create("NuboCnnPartDetector", id));
+  }
+
   public NuboEarDetector createNuboEarDetector() {
     return new NuboEarDetector(client, client.create("NuboEarDetector", id));
   }

@@ -29,6 +29,7 @@ MODULES = {
     "nubotracker": ("NuboTracker", "OnTracker", "TrackerInfo"),
     # extension beyond the reference: the learned detector module
     "nubocnnfacedetector": ("NuboCnnFaceDetector", "OnFace", "FaceInfo"),
+    "nubocnnpartdetector": ("NuboCnnPartDetector", "OnPart", "PartInfo"),
 }
 
 _EXCLUDE = {"process", "render", "addEventListener"}

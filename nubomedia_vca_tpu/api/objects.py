@@ -251,6 +251,63 @@ class NuboFaceDetector(_FilterObject):
         return res
 
 
+@dataclasses.dataclass
+class CnnPartDetectorConfig:
+    """Knobs for the learned multi-part detector (no reference analog —
+    one conv pass replaces the reference's face→eye/nose/mouth element
+    chain)."""
+
+    # 0.7 balances the shipped checkpoint's holdout recall (>=0.95 every
+    # class) against precision (0.83-0.94); see models/cnn_parts.evaluate
+    threshold: float = 0.7
+    view: int = 1
+    activate_events: int = 0
+    events_ms: int = 30001
+
+
+class NuboCnnPartDetector(_FilterObject):
+    """One-pass learned face+eye+nose+mouth detector as a remote object:
+    emits OnPart events with every part class in one payload
+    (models/cnn_parts.py; trained on exact synthetic part geometry)."""
+
+    EVENT_NAME = "OnPart"
+    INFO_NAME = "part"
+
+    def __init__(self, mediaPipeline):
+        self._config = CnnPartDetectorConfig()
+        self._overlay = None
+        super().__init__(mediaPipeline)
+
+    def _build_model(self):
+        from ..models.cnn_parts import CnnPartDetector
+
+        return CnnPartDetector(self.pipeline.frame_size,
+                               threshold=self._config.threshold)
+
+    def _reconfigure_model(self):
+        from ..models.cnn_parts import CnnPartDetector
+
+        if self._config.threshold != self._model.threshold:
+            self._model = CnnPartDetector(
+                self.pipeline.frame_size, params=self._model.params,
+                threshold=self._config.threshold)
+
+    def setThreshold(self, threshold: float):
+        self._set(threshold=float(threshold))
+
+    def showParts(self, viewParts: int):
+        self._set(view=int(viewParts))
+
+    def process(self, frames, stream: int = 0):
+        with self._lock:
+            model = self._ensure_model()
+            res = model.process(frames)
+        for frame_res in res:
+            self._emit([(k, r) for k, rects in frame_res.items()
+                        for r in rects])
+        return res
+
+
 class _PartObject(_FilterObject):
     def process(self, frames, face_boxes=None, stream: int = 0):
         with self._lock:

@@ -43,6 +43,7 @@ CREATABLE = {
     "NuboEarDetector": obj_mod.NuboEarDetector,
     "NuboTracker": obj_mod.NuboTracker,
     "NuboCnnFaceDetector": obj_mod.NuboCnnFaceDetector,
+    "NuboCnnPartDetector": obj_mod.NuboCnnPartDetector,
 }
 
 
