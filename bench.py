@@ -475,7 +475,14 @@ def phase_cnn(B):
           round(i8 / 1000.0, 3))
     from nubomedia_vca_tpu.models import cnn_parts as parts_mod
     detp = parts_mod.CnnPartDetector((W, H))
-    fparts = _throughput(jax.jit(detp._device_detect), frames, B)
+
+    @jax.jit
+    def parts_step(g):
+        outs = detp._device_detect(g)
+        # second element = total detections, for _throughput's zero-canary
+        return outs, sum(v.sum() for (_, _, v) in outs)
+
+    fparts = _throughput(parts_step, frames, B)
     _emit("cnn_parts_720p_fps", round(fparts, 1), "frames/s",
           round(fparts / 1000.0, 3))
 
