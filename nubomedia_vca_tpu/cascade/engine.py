@@ -150,11 +150,11 @@ class CascadeEngine:
             # measured <= the XLA dense phase at B=64 and B=256 (23.5 vs
             # 26.1 us/batch, 17.4 vs 22.2; tunnel-harness enqueue timings —
             # see tools/profile_breakdown.py); window sets are identical
-            # (tests/test_pallas_ops.py). Tilted dense blocks are
-            # unsupported (sequential 45-degree recurrence).
-            use_pallas_dense = (jax.default_backend() == "tpu"
-                                and not self._dense_uses_tilt)
-        self._use_pallas_dense = use_pallas_dense and not self._dense_uses_tilt
+            # (tests/test_pallas_ops.py). Tilted cascades run the fused
+            # path too (skewed-prefix-sum RSAT in-kernel, emitted for the
+            # patch gather), gated at a smaller level size.
+            use_pallas_dense = jax.default_backend() == "tpu"
+        self._use_pallas_dense = use_pallas_dense
         self._dense_kernels: dict = {}
         self._detect_jit = jax.jit(self._detect_impl)
         # fine scale factors produce very deep pyramids whose whole-program
@@ -388,11 +388,16 @@ class CascadeEngine:
     # Mosaic allocates the dense kernel's whole live set on the VMEM stack;
     # measured ~250 B/grid-element for the face-alt dense block (a 241x321
     # level wanted 19.19M > the 16M limit). Levels above this grid size run
-    # the XLA dense phase instead (per-level choice, same results).
+    # the XLA dense phase instead (per-level choice, same results). Tilted
+    # cascades additionally hold the RSAT skew buffers ([sh+1, sw+3·sh+1]
+    # i32), so their ceiling is lower.
     PALLAS_DENSE_MAX_ELEMS = 48_000
+    PALLAS_DENSE_MAX_ELEMS_TILT = 16_000
 
     def _pallas_dense_fits(self, l) -> bool:
-        return (l.sh + 1) * (l.sw + 1) <= self.PALLAS_DENSE_MAX_ELEMS
+        cap = (self.PALLAS_DENSE_MAX_ELEMS_TILT if self._uses_tilt
+               else self.PALLAS_DENSE_MAX_ELEMS)
+        return (l.sh + 1) * (l.sw + 1) <= cap
 
     def _eval_level(self, gray, li: int):
         """One pyramid level → (boxes [B,cap,4], alive [B,cap], ovf [B])."""
@@ -415,9 +420,7 @@ class CascadeEngine:
                     from ..ops.pallas.dense_pallas import build_dense_phase
                     kern = build_dense_phase(self, l.sh, l.sw)
                     self._dense_kernels[(l.sh, l.sw)] = kern
-                ii, vnf_full, alive_full = kern(img)
-                iit = (tilted_integral_image(img) if self._uses_tilt
-                       else None)
+                ii, iit, vnf_full, alive_full = kern(img)
                 sub = (slice(None), slice(0, None, step), slice(0, None, step))
                 alive = alive_full[sub].astype(bool)
                 vnf = vnf_full[sub]

@@ -6,8 +6,9 @@ the integral and squared-integral tables in HBM and re-reads them for each
 corner slice; this kernel instead keeps one VMEM residency per frame:
 
     uint8 level image → (in VMEM) integral, squared integral,
+    [tilted integral when the cascade has 45° features,]
     variance normalization, unrolled dense weak/stage evaluation
-    → writes ii (needed later for the survivor patch gather), the
+    → writes ii (+ iit, needed later for the survivor patch gather), the
       normalization factors and the alive mask.
 
 The squared-integral table never touches HBM (it is only used densely),
@@ -17,11 +18,17 @@ wraparound + f32 accumulation order), so window-exact OpenCV parity is
 preserved; enforced by tests/test_pallas_ops.py in interpret mode and on
 TPU by the engine parity suite with the kernel enabled.
 
+Tilted (45°) features use `ops/integral.tilted_2d`'s skewed-prefix-sum
+RSAT — no sequential row recurrence, just log-step masked shifts and the
+same log-shift column scans as the plain tables, so old-format mcs-style
+cascades (and lefteye/righteye_2splits, smile, ...) run the fused path
+too. The tilted table is wider in flight ([sh+1, sw+3·sh+1] skew buffers),
+so the engine gates tilt kernels at a smaller level size
+(PALLAS_DENSE_MAX_ELEMS_TILT).
+
 Dense evaluation runs at ystep=1 density (all `gy×gx` positions); the
 engine subsamples `[::ystep]` outside — on the VPU the extra positions are
-cheaper than strided reads. Tilted features in the dense block are not
-supported (the 45° table needs a sequential row recurrence); the engine
-gates on `_dense_uses_tilt`.
+cheaper than strided reads.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..integral import tilted_2d
 from .integral_pallas import _log_shift_cumsum
 
 
@@ -49,12 +57,41 @@ def _corner_sum(tab, corners, gy, gx):
     return acc
 
 
+def _roll_shift(a, s, axis):
+    """Zero-filled shift via circular `pltpu.roll` + mask. Mosaic-friendly:
+    `jnp.pad`-based shifts become tpu.concatenate ops that Mosaic rejects
+    when the operand carries the offset layout the skew slices produce."""
+    if s == 0:
+        return a
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    rolled = pltpu.roll(a, s % a.shape[axis], axis)
+    if s > 0:
+        return jnp.where(idx >= s, rolled, 0)
+    return jnp.where(idx < a.shape[axis] + s, rolled, 0)
+
+
+def _roll_shift_cols(a, s):
+    return _roll_shift(a, s, a.ndim - 1)
+
+
+def _roll_cumsum(a, axis):
+    """Inclusive prefix sum via log-step roll-adds (offset-layout-safe)."""
+    n, shift = a.shape[axis], 1
+    while shift < n:
+        a = a + _roll_shift(a, shift, axis)
+        shift *= 2
+    return a
+
+
 def build_dense_phase(engine, sh: int, sw: int):
     """One fused kernel for a `sh×sw` level of `engine`'s cascade.
 
     Returns fn: img [B, sh, sw] uint8 →
-        (ii [B, sh+1, sw+1] i32, vnf [B, gy, gx] f32, alive [B, gy, gx] i8)
+        (ii [B, sh+1, sw+1] i32, iit [B, sh+1, sw+1] i32 | None,
+         vnf [B, gy, gx] f32, alive [B, gy, gx] i8)
     with gy/gx the full-density window grid (ystep applied by the caller).
+    iit is emitted iff the cascade has tilted features (the engine's later
+    matmul blocks gather survivor patches from it).
     """
     c = engine.cascade
     w0, h0 = c.window_w, c.window_h
@@ -66,25 +103,29 @@ def build_dense_phase(engine, sh: int, sw: int):
     norm_corners = engine._norm_corners
     norm_area = float(engine._norm_area)
     n_dense = engine.n_dense_stages
-    if engine._dense_uses_tilt:
-        raise ValueError("dense block uses tilted features")
+    uses_tilt = bool(engine._uses_tilt)
 
-    def feature(ii, fid):
+    def feature(ii, iit, fid):
         val = None
         for table, corners, wgt in feat_rects[fid]:
-            assert table == "sum"
-            rs = _corner_sum(ii, corners, gy, gx).astype(jnp.float32)
+            tab = ii if table == "sum" else iit
+            rs = _corner_sum(tab, corners, gy, gx).astype(jnp.float32)
             term = rs * jnp.float32(wgt)
             val = term if val is None else val + term
         return val
 
-    def kernel(img_ref, ii_ref, vnf_ref, alive_ref):
+    def body(img_ref, ii_ref, iit_ref, vnf_ref, alive_ref):
         x = img_ref[0].astype(jnp.int32)
         ii = jnp.pad(_log_shift_cumsum(_log_shift_cumsum(x, 1), 0),
                      ((1, 0), (1, 0)))
         sq = jnp.pad(_log_shift_cumsum(_log_shift_cumsum(x * x, 1), 0),
                      ((1, 0), (1, 0)))
         ii_ref[0] = ii
+        if uses_tilt:
+            iit = tilted_2d(x, cumsum=_roll_cumsum, shift=_roll_shift_cols)
+            iit_ref[0] = iit
+        else:
+            iit = None
 
         valsum = _corner_sum(ii, norm_corners, gy, gx)
         sqv = _corner_sum(sq, norm_corners, gy, gx)
@@ -104,9 +145,9 @@ def build_dense_phase(engine, sh: int, sw: int):
         for s_idx in range(n_dense):
             ssum = jnp.zeros_like(vnf)
             while widx < n_d and d["stage"][widx] == s_idx:
-                f0 = feature(ii, int(d["feat0"][widx])) * vnf
-                fL = feature(ii, int(d["featL"][widx])) * vnf
-                fR = feature(ii, int(d["featR"][widx])) * vnf
+                f0 = feature(ii, iit, int(d["feat0"][widx])) * vnf
+                fL = feature(ii, iit, int(d["featL"][widx])) * vnf
+                fR = feature(ii, iit, int(d["featR"][widx])) * vnf
                 lv = jnp.where(fL < d["thrL"][widx],
                                d["leavesL"][widx][0], d["leavesL"][widx][1])
                 rv = jnp.where(fR < d["thrR"][widx],
@@ -116,6 +157,12 @@ def build_dense_phase(engine, sh: int, sw: int):
             alive = alive & (ssum >= d["stage_thr"][s_idx])
         alive_ref[0] = alive.astype(jnp.int8)
 
+    if uses_tilt:
+        kernel = body
+    else:
+        def kernel(img_ref, ii_ref, vnf_ref, alive_ref):  # no iit output
+            body(img_ref, ii_ref, None, vnf_ref, alive_ref)
+
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def dense_phase(img, interpret: bool | None = None):
         if interpret is None:
@@ -124,10 +171,12 @@ def build_dense_phase(engine, sh: int, sw: int):
         B = img.shape[0]
         out_shape = (
             jax.ShapeDtypeStruct((B, sh + 1, sw + 1), jnp.int32),
+            *((jax.ShapeDtypeStruct((B, sh + 1, sw + 1), jnp.int32),)
+              if uses_tilt else ()),
             jax.ShapeDtypeStruct((B, gy, gx), jnp.float32),
             jax.ShapeDtypeStruct((B, gy, gx), jnp.int8),
         )
-        return pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(B,),
             in_specs=[pl.BlockSpec((1, sh, sw), lambda b: (b, 0, 0),
@@ -139,5 +188,10 @@ def build_dense_phase(engine, sh: int, sw: int):
             out_shape=out_shape,
             interpret=interpret,
         )(img)
+        if uses_tilt:
+            ii, iit, vnf, alive = outs
+        else:
+            (ii, vnf, alive), iit = outs, None
+        return ii, iit, vnf, alive
 
     return dense_phase

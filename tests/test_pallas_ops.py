@@ -65,3 +65,146 @@ def test_dense_phase_kernel_matches_xla_engine(rng):
         assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
         total += len(a)
     assert total > 0  # non-vacuous: the scene actually fires the cascade
+
+
+def test_dense_phase_kernel_tilted_cascade(rng):
+    """Tilt-using cascade (lefteye_2splits: 186 tilted features) through the
+    fused kernel — in-kernel skewed-prefix-sum RSAT + tilted corner reads
+    produce the identical window set as the XLA phase, and the kernel's
+    emitted tilted table feeds the survivor patch gather."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import face_scene
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+    from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
+
+    casc = load_cascade_xml(
+        "/usr/share/opencv4/haarcascades/haarcascade_lefteye_2splits.xml")
+    assert casc.has_tilted
+    frames = np.stack([
+        face_scene(96, 72, faces=((48, 36, 30),), noise=10, seed=s)
+        for s in range(2)
+    ])
+    gray = jnp.asarray(frames)
+    eng_xla = CascadeEngine(casc, (96, 72), 1.25, use_pallas_dense=False)
+    eng_pk = CascadeEngine(casc, (96, 72), 1.25, use_pallas_dense=True)
+    assert eng_pk._use_pallas_dense and eng_pk._uses_tilt
+    for a, b in zip(eng_xla.candidates(gray), eng_pk.candidates(gray)):
+        assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
+
+
+def test_dense_phase_tilted_full_path_nonvacuous(rng):
+    """Truncated tilted cascade (4 stages: 3 dense + 1 matmul block) on
+    noise, so windows SURVIVE to the end — non-vacuous full-path parity:
+    the kernel-emitted tilted table feeds the survivor patch gather and
+    the kernel's vnf multiplies the matmul-stage features. Verified
+    equal on real TPU as well (windows found and identical)."""
+    import dataclasses
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+    from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
+
+    casc = load_cascade_xml(
+        "/usr/share/opencv4/haarcascades/haarcascade_lefteye_2splits.xml")
+    K = 4
+    keep = casc.weak_stage < K
+    trunc = dataclasses.replace(
+        casc,
+        feat0=casc.feat0[keep], thr0=casc.thr0[keep],
+        featL=casc.featL[keep], thrL=casc.thrL[keep],
+        leavesL=casc.leavesL[keep],
+        featR=casc.featR[keep], thrR=casc.thrR[keep],
+        leavesR=casc.leavesR[keep],
+        weak_stage=casc.weak_stage[keep],
+        stage_thresholds=casc.stage_thresholds[:K])
+    img = jnp.asarray(rng.randint(0, 256, (4, 40, 48)).astype(np.uint8))
+    e_x = CascadeEngine(trunc, (48, 40), 1.25, dense_stages=3,
+                        use_pallas_dense=False)
+    e_p = CascadeEngine(trunc, (48, 40), 1.25, dense_stages=3,
+                        use_pallas_dense=True)
+    assert e_p._use_pallas_dense and e_p._dense_uses_tilt
+    tot = 0
+    for a, b in zip(e_x.candidates(img), e_p.candidates(img)):
+        assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
+        tot += len(a)
+    assert tot > 0  # noise must reach the post-dense stages
+
+
+def test_tilted_integral_skew_equals_scan(rng):
+    from nubomedia_vca_tpu.ops.integral import (
+        tilted_integral_image, tilted_integral_image_scan, tilted_integral_np)
+
+    img = rng.randint(0, 256, (2, 41, 67)).astype(np.uint8)
+    a = np.asarray(tilted_integral_image(jnp.asarray(img)))
+    b = np.asarray(tilted_integral_image_scan(jnp.asarray(img)))
+    assert np.array_equal(a, b)
+    assert np.array_equal(a[0], tilted_integral_np(img[0]).astype(np.int32))
+
+
+def test_dense_phase_kernel_tilted_intermediates(rng):
+    """Non-vacuous tilt check: on noise images (where final candidates are
+    empty) compare the fused kernel's intermediate outputs — ii, the
+    in-kernel roll-based RSAT, vnf, and the dense alive mask — against an
+    XLA replica built from the engine's own helpers at full density."""
+    import jax.numpy as jnp2
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+    from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
+    from nubomedia_vca_tpu.ops.integral import (
+        integral_image, sq_integral_image, tilted_integral_image)
+    from nubomedia_vca_tpu.ops.pallas.dense_pallas import build_dense_phase
+    import jax
+
+    casc = load_cascade_xml(
+        "/usr/share/opencv4/haarcascades/haarcascade_lefteye_2splits.xml")
+    # dense_stages=3: the block still contains tilted features, and random
+    # noise keeps ~15 survivors, so the alive-mask comparison is non-vacuous
+    eng = CascadeEngine(casc, (48, 40), 1.25, dense_stages=3,
+                        use_pallas_dense=True)
+    assert eng._dense_uses_tilt
+    sh, sw = eng.levels[0].sh, eng.levels[0].sw
+    img = jnp.asarray(rng.randint(0, 256, (2, sh, sw)).astype(np.uint8))
+    kern = build_dense_phase(eng, sh, sw)
+    ii_k, iit_k, vnf_k, alive_k = kern(img, interpret=True)
+
+    gy = sh - casc.window_h + 1
+    gx = sw - casc.window_w + 1
+
+    @jax.jit   # both real paths run jitted; eager would miss the 1/sqrt →
+    def replica(img):          # rsqrt rewrite and differ by 1 ulp
+        ii = integral_image(img)
+        iisq = sq_integral_image(img)
+        iit = tilted_integral_image(img)
+        valsum = eng._dense_rect_sum(ii, eng._norm_corners, gy, gx, 1)
+        sqv = eng._dense_rect_sum(iisq, eng._norm_corners, gy, gx, 1)
+        sq_u = jax.lax.bitcast_convert_type(sqv, jnp2.uint32)
+        vf = valsum.astype(jnp2.float32)
+        nf = eng._norm_area * sq_u.astype(jnp2.float32) - vf * vf
+        win_valid = nf > 100.0 * eng._norm_area * eng._norm_area
+        vnf = jnp2.where(win_valid,
+                         1.0 / jnp2.sqrt(jnp2.maximum(nf, 1e-20)), 1.0)
+        d = eng._dense
+        cache = {}
+        alive = win_valid
+        widx = 0
+        for s_idx in range(eng.n_dense_stages):
+            ssum = jnp2.zeros_like(vnf)
+            while widx < len(d["feat0"]) and d["stage"][widx] == s_idx:
+                f0 = eng._dense_feature(ii, iit, int(d["feat0"][widx]),
+                                        gy, gx, 1, cache) * vnf
+                fL = eng._dense_feature(ii, iit, int(d["featL"][widx]),
+                                        gy, gx, 1, cache) * vnf
+                fR = eng._dense_feature(ii, iit, int(d["featR"][widx]),
+                                        gy, gx, 1, cache) * vnf
+                ssum = ssum + eng._weak_tree(
+                    f0, fL, fR, d["thr0"][widx], d["thrL"][widx],
+                    d["thrR"][widx], d["leavesL"][widx], d["leavesR"][widx])
+                widx += 1
+            alive = alive & (ssum >= d["stage_thr"][s_idx])
+        return ii, iit, vnf, alive
+
+    ii, iit, vnf, alive = replica(img)
+    assert np.array_equal(np.asarray(ii_k), np.asarray(ii))
+    assert np.array_equal(np.asarray(iit_k), np.asarray(iit))
+    assert np.array_equal(np.asarray(vnf_k), np.asarray(vnf))
+    alive = np.asarray(alive)
+    assert alive.any(), "noise should keep some dense-phase survivors"
+    assert np.array_equal(np.asarray(alive_k).astype(bool), alive)
