@@ -147,21 +147,30 @@ def jnp_canary(frames):
     return jnp.asarray(frames)
 
 
-def phase_grouped(B):
-    engine, work_h, frames, _ = _setup(B)
-    _, step_grouped = _steps(engine, work_h)
-    # roofline estimate from actual access patterns: the 8x bilinear
-    # downsample reads only 2 source rows per output row; per level the
-    # work image is re-read (2 rows/output row), the level image
-    # written+read, one int32 integral table written+read (the fused dense
-    # kernel keeps the squared table in VMEM), and the dense outputs
-    # (~5 B/window) written+read.
-    bytes_per_frame = 2 * work_h * W + WORK_W * work_h
+def _cascade_bytes(engine, work_w, work_h, src_w=None):
+    """Roofline HBM-bytes/frame estimate for one cascade engine's device
+    program from its actual access patterns: the bilinear downsample reads
+    only 2 source rows per output row; per level the work image is re-read
+    (2 rows/output row), the level image written+read, the int32 integral
+    table written+read — twice that when the cascade has tilted features
+    (the 45° table is emitted alongside; the squared table stays in VMEM
+    on the fused path) — and the dense outputs (~5 B/window)
+    written+read. src_w=None skips the downsample term (shared work
+    image already counted by the caller)."""
+    tab_mult = 4 if engine._uses_tilt else 2
+    total = (2 * work_h * src_w + work_w * work_h) if src_w else 0
     for lvl in engine.levels:
         img_b = lvl.sw * lvl.sh
         tab_b = 4 * (lvl.sw + 1) * (lvl.sh + 1)
-        bytes_per_frame += (2 * lvl.sh * WORK_W + 2 * img_b + 2 * tab_b
-                            + 2 * 5 * lvl.n_windows)
+        total += (2 * lvl.sh * work_w + 2 * img_b + tab_mult * tab_b
+                  + 2 * 5 * lvl.n_windows)
+    return total
+
+
+def phase_grouped(B):
+    engine, work_h, frames, _ = _setup(B)
+    _, step_grouped = _steps(engine, work_h)
+    bytes_per_frame = _cascade_bytes(engine, WORK_W, work_h, src_w=W)
     # mechanical self-guard (BASELINE.md:26-28 promoted into the
     # measurement): the tunnel's deferred-execution enqueue rate can outrun
     # the device, so any sample implying >1.1x nominal peak HBM traffic is
@@ -487,6 +496,82 @@ def phase_cnn(B):
           round(fparts / 1000.0, 3))
 
 
+def phase_chain(B):
+    """The reference's full default filter chain as one per-frame device
+    workload: face cascade (160-wide, minNeighbors-grouped on device) plus
+    the eye-left/eye-right/mouth/nose part cascades at part resolution
+    (320-wide, sf=1.1 — the reference's EYE/MOUTH/NOSE_SCALE), candidates
+    device-compacted. The engines are the exact objects the
+    EyeDetector/MouthDetector/NoseDetector serving path builds
+    (models/parts.py:_device_pass, event-chained deployment: ONE face
+    pass feeds all part detectors, as MediaRunner chains them); eye/mouth
+    defaults are tilted
+    cascades (…_2splits, smile) running the fused Pallas dense phase
+    (parallel skewed-prefix-sum RSAT). Dispatched as one program per
+    engine (the engines' own compile-fallback machinery applies); async
+    dispatch pipelines them on-device."""
+    import jax
+    from nubomedia_vca_tpu.models.eye import EyeDetector
+    from nubomedia_vca_tpu.models.mouth import MouthDetector
+    from nubomedia_vca_tpu.models.nose import NoseDetector
+    from nubomedia_vca_tpu.ops.histogram import equalize_hist
+    from nubomedia_vca_tpu.ops.resize import resize_linear_exact
+    from tests.fixtures import face_scene
+
+    from nubomedia_vca_tpu.models.face import FaceDetector
+
+    face = FaceDetector((W, H))
+    dets = [EyeDetector((W, H)), MouthDetector((W, H)), NoseDetector((W, H))]
+    d0 = dets[0]
+    assert all(d.face_w == face.work_w and d.part_w == d0.part_w
+               for d in dets)
+    part_engines = {}
+    for d in dets:
+        part_engines.update(d.part_engines)
+    fe = face.engine
+    fmn = MIN_NEIGHBORS
+    for eng in [fe, *part_engines.values()]:
+        eng.warmup(batch_size=B)
+
+    def step(gray):
+        face_img = equalize_hist(
+            resize_linear_exact(gray, (face.work_w, face.work_h)))
+        part_img = equalize_hist(
+            resize_linear_exact(gray, (d0.part_w, d0.part_h)))
+        fb, fv, _, _ = fe.group_device(fe.detect_raw(face_img), fmn)
+        parts = tuple(eng.compact_raw(eng.detect_raw(part_img))
+                      for eng in part_engines.values())
+        return fb, fv, parts
+
+    rng = np.random.RandomState(0)
+    frames = np.stack([
+        face_scene(W, H, faces=((rng.randint(200, 1080),
+                                 rng.randint(200, 520), 150),),
+                   noise=6, seed=i)
+        for i in range(B)
+    ])
+    bytes_per_frame = (2 * face.work_h * W + face.work_w * face.work_h
+                       + 2 * d0.part_h * W + d0.part_w * d0.part_h
+                       + _cascade_bytes(fe, face.work_w, face.work_h))
+    for eng in part_engines.values():
+        bytes_per_frame += _cascade_bytes(eng, d0.part_w, d0.part_h)
+    roofline_fps = 1.1 * V5E_PEAK_GBPS * 1e9 / bytes_per_frame
+    samples = [_throughput(step, frames, B, n_iter=50, canary=False)
+               for _ in range(3)]
+    canary_out = step(jnp_canary(frames))
+    if int(np.asarray(canary_out[1]).sum()) == 0:
+        print("WARNING: zero faces on face-bearing frames", file=sys.stderr)
+    fps = min(samples)
+    headline = min(fps, roofline_fps)
+    print(json.dumps({
+        "metric": "haar_chain_720p_fps_per_chip_samples",
+        "value": [round(s, 1) for s in samples], "unit": "frames/s",
+        "roofline_fps": round(roofline_fps, 1),
+        "roofline_capped": fps > roofline_fps}), flush=True)
+    _emit("haar_chain_720p_fps_per_chip", round(headline, 1), "frames/s",
+          round(headline / 1000.0, 3))
+
+
 PHASES = {
     "raw": phase_raw,
     "grouped": phase_grouped,
@@ -495,12 +580,13 @@ PHASES = {
     "e2e_fullres": lambda B: phase_e2e(B, use_feeder=False),
     "feeder": lambda B: phase_e2e(B, use_feeder=True),
     "cnn": phase_cnn,
+    "chain": phase_chain,
 }
 
 # cheap phases first; the headline (grouped) runs last so its JSON line is
 # the final stdout line for drivers that keep only one
 PHASE_ORDER = ["raw", "latency", "e2e_fullres", "e2e", "feeder", "cnn",
-               "grouped"]
+               "chain", "grouped"]
 
 
 def main():

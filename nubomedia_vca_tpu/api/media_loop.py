@@ -17,11 +17,14 @@ continues downstream in place, kmsfacedetect.cpp:857-898, into
 autovideosink via run_plugin.sh:3): with ``output`` enabled, every element
 with its view knob on draws its detections on-device
 (`_FilterObject.render` — rectangles/circles/costume overlay honoring
-showFaces/visual_mode/setOverlayedImage) and the annotated GRAY8 frames are
+showFaces/visual_mode/setOverlayedImage) and the annotated frames are
 written back on each stream's own TCP connection, so
 ``gst-launch … tcpclientsink`` → detect → read-back → ``autovideosink``
 reproduces the run_plugin.sh experience live. Keep the connection open
-while reading back; output frames are W*H GRAY8 in input order.
+while reading back; output frames come in input order — W*H*3 BGR when
+``listen(channels=3, output=1)`` (the ingest retains the color frame and
+detections are drawn on it, matching the reference's in-place color
+annotation), W*H GRAY8 for gray listeners.
 
 Apps never import this module: `MediaPipeline.listen()` (an RPC-invokable
 method) lazily starts the runner and returns the bound TCP port.
@@ -68,6 +71,7 @@ class MediaRunner:
         self._thread = None
         self.port = None
         self.output = False
+        self.color_output = False
         self._downscale_res = None
         self.frames_processed = 0
         self.frames_sent = 0
@@ -78,20 +82,28 @@ class MediaRunner:
     def listen(self, port: int = 0, channels: int = 1, output: bool = False,
                downscale: bool = False) -> int:
         """Open the raw-video TCP port. output=True turns on the
-        media-plane return path (annotated GRAY8 frames written back per
-        connection). downscale=True downscales frames to the elements'
-        common working resolution at ingest (full-resolution frames never
-        cross host→device) — mutually exclusive with output, which needs
-        full frames to draw on."""
+        media-plane return path: annotated frames written back per
+        connection — BGR in/out when channels is 3 or 4 (the ingest
+        retains the color frame and detections are drawn on it, exactly
+        the reference's in-place color annotation,
+        kmsfacedetect.cpp:857-898), GRAY8 in/out otherwise.
+        downscale=True downscales frames to the elements' common working
+        resolution at ingest (full-resolution frames never cross
+        host→device) — mutually exclusive with output, which needs full
+        frames to draw on."""
         if output and downscale:
             raise ValueError("output rendering needs full-resolution "
                              "frames; downscale must stay off")
         if downscale:
             self.enable_ingest_downscale()   # validates before any socket
+        color = bool(output) and channels in (3, 4)
+        if color:
+            self.ingest.set_retain_color(True)
         self.port = self.ingest.listen(port, channels)
         # state flips only after the listen socket is actually up — a
         # failed listen() must not leave the runner half-configured
         self.output = bool(output)
+        self.color_output = color
         self._start()
         return self.port
 
@@ -141,6 +153,7 @@ class MediaRunner:
             "outDropped": int(getattr(self.ingest, "out_dropped", 0)),
             "downscale": list(self._downscale_res or ()),
             "output": self.output,
+            "colorOutput": self.color_output,
         }
 
     def _start(self) -> None:
@@ -163,7 +176,7 @@ class MediaRunner:
             self._thread = None
 
     # -- the loop -----------------------------------------------------------
-    def _step(self, frames, stream: int = 0) -> None:
+    def _step(self, frames, stream: int = 0, color=None) -> None:
         """Run every element of the pipeline over one frame batch with the
         reference's chaining semantics, then (output mode) render + return
         annotated frames.
@@ -208,12 +221,16 @@ class MediaRunner:
                 traceback.print_exc()
         self.frames_processed += len(frames)
         if self.output or self.on_annotated is not None:
-            self._emit_annotated(frames, rendered, stream)
+            self._emit_annotated(color if color is not None else frames,
+                                 rendered, stream)
 
     def _emit_annotated(self, frames, rendered, stream: int) -> None:
         """Draw every view-enabled element's detections in registration
         order (each reference element draws in place as the frame passes
-        through it) and return the GRAY8 result to the stream."""
+        through it) and return the result to the stream — BGR when the
+        listener retains color (the reference's product is the annotated
+        COLOR stream), GRAY8 otherwise."""
+        color_mode = getattr(frames, "ndim", 3) == 4
         # the batch stays a DEVICE array across the whole render chain
         # (each el.render is a pure device op); one host transfer at the end
         out = frames
@@ -223,7 +240,8 @@ class MediaRunner:
             except Exception:  # noqa: BLE001
                 import traceback
                 traceback.print_exc()
-        if getattr(out, "ndim", 3) == 4:   # costume overlay → BGR; back to Y
+        if not color_mode and getattr(out, "ndim", 3) == 4:
+            # gray mode + costume overlay → BGR intermediate; back to Y
             import jax.numpy as jnp
             from ..ops.color import bgr_to_gray
             out = bgr_to_gray(jnp.asarray(out))
@@ -256,12 +274,19 @@ class MediaRunner:
 
         while not self._stop.is_set():
             self._check_downscale_still_valid()
-            frames, pts, streams = self.ingest.collect(
-                self.batch, min_frames=1, wait_ms=50)
+            color = None
+            if self.color_output:
+                frames, color, pts, streams = self.ingest.collect_color(
+                    self.batch, min_frames=1, wait_ms=50)
+            else:
+                frames, pts, streams = self.ingest.collect(
+                    self.batch, min_frames=1, wait_ms=50)
             if frames.shape[0] == 0:
                 time.sleep(0.005)
                 continue
             # frames arrive interleaved across TCP connections; process
             # per-stream so temporal state never crosses streams
             for s in np.unique(streams):
-                self._step(frames[streams == s], stream=int(s))
+                sel = streams == s
+                self._step(frames[sel], stream=int(s),
+                           color=None if color is None else color[sel])

@@ -211,10 +211,17 @@ class _FilterObject:
             uri, ox, oy, wp, hp = self._overlay
             overlay = (load_overlay_image(uri, fetch=fetch), (ox, oy, wp, hp))
         rects = [self._result_rects(r) for r in results]
+        kw = {}
+        if getattr(frames, "ndim", None) == 4:
+            # color frames: the reference draws BaseFace::colors[1] =
+            # CV_RGB(0,128,255) (BGR 255,128,0) on every rect
+            # (BaseFace.cpp:70-82, kmsfacedetect.cpp:144-151)
+            kw["color"] = self.RENDER_COLOR
         return render_detections(frames, rects, mode=self.RENDER_MODE,
-                                 overlay=overlay)
+                                 overlay=overlay, **kw)
 
     RENDER_MODE = "rect"
+    RENDER_COLOR = (255, 128, 0)
 
 
 class NuboFaceDetector(_FilterObject):

@@ -59,6 +59,7 @@ namespace {
 
 struct Slot {
   std::vector<uint8_t> gray;
+  std::vector<uint8_t> color;  // tight BGR copy when retain_color is on
   int64_t pts;
   int32_t stream;
 };
@@ -129,6 +130,10 @@ struct Ingest {
   std::condition_variable cv;
   std::deque<Slot> ready;
   int64_t dropped = 0;
+  // retain a tight BGR copy of each color push so the media loop can draw
+  // annotations on the COLOR frame (the reference mutates the color frame
+  // in place, kmsfacedetect.cpp:857-898); full-resolution pushes only
+  std::atomic<int> retain_color{0};
   // live TCP listener state
   int listen_fd = -1;
   int listen_channels = 1;
@@ -301,6 +306,24 @@ int vca_ingest_push(void* p, int stream, const uint8_t* data, int stride,
     std::lock_guard<std::mutex> lk(h->mu);
     wt = h->work;
   }
+  if (h->retain_color && channels >= 3 && !wt) {
+    // tight BGR copy (alpha stripped); retain is full-resolution only
+    // (the downscale path exists precisely so color never crosses H2D)
+    s.color.resize(static_cast<size_t>(w) * ht * 3);
+    for (int y = 0; y < ht; y++) {
+      const uint8_t* row = data + static_cast<size_t>(y) * stride;
+      uint8_t* out = s.color.data() + static_cast<size_t>(y) * w * 3;
+      if (channels == 3) {
+        std::memcpy(out, row, static_cast<size_t>(w) * 3);
+      } else {
+        for (int x = 0; x < w; x++) {
+          out[3 * x] = row[4 * x];
+          out[3 * x + 1] = row[4 * x + 1];
+          out[3 * x + 2] = row[4 * x + 2];
+        }
+      }
+    }
+  }
   if (wt && channels != 1) {
     // fused convert+downscale (touches only the bilinear tap pixels)
     s.gray.resize(static_cast<size_t>(wt->w) * wt->h);
@@ -378,6 +401,56 @@ int vca_ingest_collect(void* p, uint8_t* out, int64_t* pts_out,
       continue;
     }
     std::memcpy(out + n * frame_sz, s.gray.data(), frame_sz);
+    pts_out[n] = s.pts;
+    stream_out[n] = s.stream;
+    h->ready.pop_front();
+    n++;
+  }
+  return n;
+}
+
+// Enable/disable tight-BGR retention of color pushes (for color-annotated
+// media output). Clears queued frames: their retention state is stale.
+void vca_ingest_set_retain_color(void* p, int on) {
+  auto* h = static_cast<Ingest*>(p);
+  h->retain_color = on;
+  std::lock_guard<std::mutex> lk(h->mu);
+  h->ready.clear();
+}
+
+// collect() variant that also drains the retained BGR copies into
+// color_out[B,H,W,3]; slots without one (gray/I420 pushes, retain off at
+// push time) zero-fill their color frame. Work-resolution mode is
+// incompatible with retention, so frames are full-size here.
+int vca_ingest_collect_color(void* p, uint8_t* out, uint8_t* color_out,
+                             int64_t* pts_out, int32_t* stream_out,
+                             int max_frames, int min_frames, int wait_ms) {
+  auto* h = static_cast<Ingest*>(p);
+  std::unique_lock<std::mutex> lk(h->mu);
+  auto have = [&] {
+    return static_cast<int>(h->ready.size()) >= min_frames;
+  };
+  if (wait_ms < 0) {
+    h->cv.wait(lk, have);
+  } else if (wait_ms > 0 && !have()) {
+    h->cv.wait_for(lk, std::chrono::milliseconds(wait_ms), have);
+  }
+  const size_t frame_sz = static_cast<size_t>(h->width) * h->height;
+  int n = 0;
+  while (n < max_frames && !h->ready.empty()) {
+    Slot& s = h->ready.front();
+    if (s.gray.size() != frame_sz) {
+      h->ready.pop_front();
+      h->dropped++;
+      continue;
+    }
+    std::memcpy(out + n * frame_sz, s.gray.data(), frame_sz);
+    if (s.color.size() == frame_sz * 3) {
+      std::memcpy(color_out + n * frame_sz * 3, s.color.data(),
+                  frame_sz * 3);
+    } else {
+      std::memset(color_out + n * frame_sz * 3, 0, frame_sz * 3);
+    }
     pts_out[n] = s.pts;
     stream_out[n] = s.stream;
     h->ready.pop_front();

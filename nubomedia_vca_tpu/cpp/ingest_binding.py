@@ -54,6 +54,13 @@ def _load():
     lib.vca_ingest_send.restype = ctypes.c_int
     lib.vca_ingest_send.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_void_p, ctypes.c_int]
+    lib.vca_ingest_set_retain_color.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_int]
+    lib.vca_ingest_collect_color.restype = ctypes.c_int
+    lib.vca_ingest_collect_color.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
     return lib
 
 
@@ -108,6 +115,26 @@ class NativeIngest:
             max_frames, min_frames, wait_ms)
         return out[:n], pts[:n], streams[:n]
 
+    def set_retain_color(self, on: bool) -> None:
+        """Retain a tight BGR copy of each color push so the media loop can
+        draw on the COLOR frame (the reference annotates the color frame in
+        place, kmsfacedetect.cpp:857-898). Full-resolution pushes only —
+        mutually exclusive with set_work downscale."""
+        _LIB.vca_ingest_set_retain_color(self._h, int(bool(on)))
+
+    def collect_color(self, max_frames: int, min_frames: int = 1,
+                      wait_ms: int = 0):
+        """collect() + the retained BGR frames [B,H,W,3] (zero-filled for
+        gray/I420 pushes or pushes made before retention was enabled)."""
+        out = np.empty((max_frames, self.h, self.w), np.uint8)
+        color = np.empty((max_frames, self.h, self.w, 3), np.uint8)
+        pts = np.empty(max_frames, np.int64)
+        streams = np.empty(max_frames, np.int32)
+        n = _LIB.vca_ingest_collect_color(
+            self._h, out.ctypes.data, color.ctypes.data, pts.ctypes.data,
+            streams.ctypes.data, max_frames, min_frames, wait_ms)
+        return out[:n], color[:n], pts[:n], streams[:n]
+
     def pending(self) -> int:
         return _LIB.vca_ingest_pending(self._h)
 
@@ -159,6 +186,7 @@ class PythonIngest:
         self._out_queues: dict[int, deque] = {}
         self.dropped = 0
         self.out_dropped = 0
+        self._retain_color = False
 
     def set_work(self, work_w: int = 0, work_h: int = 0) -> None:
         """Downscale-at-push (same semantics as NativeIngest.set_work);
@@ -209,11 +237,21 @@ class PythonIngest:
         q.append(np.ascontiguousarray(data, np.uint8).tobytes())
         return True
 
+    def set_retain_color(self, on: bool) -> None:
+        """Same semantics as NativeIngest.set_retain_color."""
+        self._retain_color = bool(on)
+        with self._mu:
+            self._q.clear()
+
     def push(self, stream: int, frame: np.ndarray, pts: int = 0) -> None:
         frame = np.asarray(frame)
+        color = None
         if frame.ndim == 3:
             from ..ops.color import bgr_to_gray
             import jax.numpy as jnp
+            at_full = (self.out_w, self.out_h) == (self.w, self.h)
+            if self._retain_color and at_full:
+                color = np.ascontiguousarray(frame[..., :3], np.uint8)
             frame = np.asarray(bgr_to_gray(jnp.asarray(frame[..., :3])))
         if (self.out_w, self.out_h) != (self.w, self.h):
             from ..ops.resize import resize_linear_exact
@@ -224,20 +262,40 @@ class PythonIngest:
             if len(self._q) >= self.capacity:
                 self._q.popleft()
                 self.dropped += 1
-            self._q.append((frame.astype(np.uint8), pts, stream))
+            self._q.append((frame.astype(np.uint8), color, pts, stream))
 
-    def collect(self, max_frames: int, min_frames: int = 1, wait_ms: int = 0):
-        frames, pts, streams = [], [], []
+    def _drain(self, max_frames: int):
+        frames, colors, pts, streams = [], [], [], []
         with self._mu:
             while self._q and len(frames) < max_frames:
-                f, p, s = self._q.popleft()
+                f, c, p, s = self._q.popleft()
                 frames.append(f)
+                colors.append(c)
                 pts.append(p)
                 streams.append(s)
+        return frames, colors, pts, streams
+
+    def collect(self, max_frames: int, min_frames: int = 1, wait_ms: int = 0):
+        frames, _, pts, streams = self._drain(max_frames)
         if not frames:
             return (np.empty((0, self.out_h, self.out_w), np.uint8),
                     np.empty(0, np.int64), np.empty(0, np.int32))
         return (np.stack(frames), np.asarray(pts, np.int64),
+                np.asarray(streams, np.int32))
+
+    def collect_color(self, max_frames: int, min_frames: int = 1,
+                      wait_ms: int = 0):
+        """collect() + retained BGR frames (zeros when not retained)."""
+        frames, colors, pts, streams = self._drain(max_frames)
+        if not frames:
+            return (np.empty((0, self.h, self.w), np.uint8),
+                    np.empty((0, self.h, self.w, 3), np.uint8),
+                    np.empty(0, np.int64), np.empty(0, np.int32))
+        color = np.stack([
+            c if c is not None else np.zeros((self.h, self.w, 3), np.uint8)
+            for c in colors
+        ])
+        return (np.stack(frames), color, np.asarray(pts, np.int64),
                 np.asarray(streams, np.int32))
 
     def pending(self) -> int:

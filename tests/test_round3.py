@@ -431,3 +431,89 @@ def test_serving_loop_tracker_refuels_face_gate():
     finally:
         pipe.stopMedia()
     assert "width" in evs[0]["wire"]
+
+
+# ---------------------------------------------------- color media-plane output
+def test_media_output_color_annotated_frames_over_tcp():
+    """BGR in → annotated BGR out: listen(channels=3, output=1) retains the
+    color frame at ingest, detections are drawn ON THE COLOR FRAME in the
+    reference's colors[1] = CV_RGB(0,128,255) (BaseFace.cpp:70-82,
+    kmsfacedetect.cpp:144-151), and the annotated color stream returns on
+    the same connection — the reference's primary product
+    (kmsfacedetect.cpp:857-898 mutates the color frame in place)."""
+    from nubomedia_vca_tpu.api.objects import MediaPipeline, NuboFaceDetector
+
+    N = 3
+    pipe = MediaPipeline((W, H))
+    NuboFaceDetector(pipe)
+    gray = face_scene(W, H, faces=((320, 240, 100),), noise=5, seed=1)
+    # tinted BGR frame (channels differ → chroma preservation is observable)
+    bgr = np.stack([gray,
+                    np.clip(gray.astype(np.int32) + 12, 0, 255),
+                    np.clip(gray.astype(np.int32) - 15, 0, 255)],
+                   axis=-1).astype(np.uint8)
+    try:
+        port = pipe.listen(0, channels=3, output=1)
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            s.settimeout(600)
+            for _ in range(N):
+                s.sendall(bgr.tobytes())
+            buf = b""
+            want = N * W * H * 3
+            while len(buf) < want:
+                chunk = s.recv(min(1 << 20, want - len(buf)))
+                assert chunk, "connection closed before all annotated frames"
+                buf += chunk
+        out = np.frombuffer(buf, np.uint8).reshape(N, H, W, 3)
+        assert _wait(lambda: pipe._runner.frames_sent == N, timeout=10)
+        assert pipe._runner.stats()["colorOutput"]
+    finally:
+        pipe.stopMedia()
+
+    for i in range(N):
+        diff = (out[i] != bgr).any(axis=-1)
+        assert diff.any(), "no annotation drawn"
+        # every changed pixel carries the reference rectangle color
+        np.testing.assert_array_equal(
+            out[i][diff], np.broadcast_to((255, 128, 0),
+                                          (diff.sum(), 3)))
+        # chroma everywhere else is preserved bit-exactly
+        assert np.array_equal(out[i][~diff], bgr[~diff])
+        # and the draw is confined to the face neighborhood
+        ys, xs = np.nonzero(diff)
+        assert xs.min() > 120 and xs.max() < 520
+        assert ys.min() > 40 and ys.max() < 440
+
+
+def test_python_ingest_color_retention_matches_native():
+    """PythonIngest.collect_color mirrors the native ABI: gray for
+    detection + retained tight BGR, zero-filled when retention was off."""
+    from nubomedia_vca_tpu.cpp.ingest_binding import (NativeIngest,
+                                                     PythonIngest, _LIB)
+
+    gray = face_scene(64, 48, faces=((32, 24, 15),), noise=8, seed=3)
+    bgr = np.stack([gray, gray, np.clip(gray.astype(np.int32) + 9, 0, 255)],
+                   axis=-1).astype(np.uint8)
+    impls = [PythonIngest(64, 48)]
+    if _LIB is not None:
+        impls.append(NativeIngest(64, 48))
+    outs = []
+    for ing in impls:
+        try:
+            ing.set_retain_color(True)
+            ing.push(0, bgr, pts=7)
+            g, c, pts, streams = ing.collect_color(4, wait_ms=1000)
+            assert g.shape == (1, 48, 64) and c.shape == (1, 48, 64, 3)
+            assert pts[0] == 7 and streams[0] == 0
+            np.testing.assert_array_equal(c[0], bgr)
+            # retention off → zero-filled color plane
+            ing.set_retain_color(False)
+            ing.push(0, bgr, pts=8)
+            g2, c2, _, _ = ing.collect_color(4, wait_ms=1000)
+            assert (c2 == 0).all()
+            np.testing.assert_array_equal(g2, g)
+            outs.append(g[0])
+        finally:
+            ing.close()
+    if len(outs) == 2:   # python and native gray conversions agree
+        np.testing.assert_array_equal(outs[0], outs[1])
