@@ -151,18 +151,33 @@ def _cascade_bytes(engine, work_w, work_h, src_w=None):
     """Roofline HBM-bytes/frame estimate for one cascade engine's device
     program from its actual access patterns: the bilinear downsample reads
     only 2 source rows per output row; per level the work image is re-read
-    (2 rows/output row), the level image written+read, the int32 integral
-    table written+read — twice that when the cascade has tilted features
-    (the 45° table is emitted alongside; the squared table stays in VMEM
-    on the fused path) — and the dense outputs (~5 B/window)
-    written+read. src_w=None skips the downsample term (shared work
-    image already counted by the caller)."""
-    tab_mult = 4 if engine._uses_tilt else 2
+    (2 rows/output row), the level image written+read, and the dense
+    outputs (~5 B/window) written+read. Integral-table traffic depends on
+    the path: levels on the fused non-tilted Pallas path emit NO tables
+    (survivor patches are gathered from the uint8 level image; survivor
+    windows overlap at the level step and dead capacity slots re-gather
+    window 0, so unique HBM bytes are bounded by one extra read of the
+    level image: min(cap0·patch, img)); tilted fused levels emit ii+iit
+    (4 tables' worth of write+read) and gather 8-byte ii/iit patches the
+    same way (bounded by one read of both tables); XLA-phase levels
+    materialize ii (+sq, +tilted) as XLA buffers (counted write+read
+    each). src_w=None skips the downsample term (shared work image
+    already counted by the caller)."""
+    c = engine.cascade
+    patch_b = c.window_w * c.window_h
     total = (2 * work_h * src_w + work_w * work_h) if src_w else 0
-    for lvl in engine.levels:
+    for lvl, caps in zip(engine.levels, engine._level_caps):
         img_b = lvl.sw * lvl.sh
         tab_b = 4 * (lvl.sw + 1) * (lvl.sh + 1)
-        total += (2 * lvl.sh * work_w + 2 * img_b + tab_mult * tab_b
+        fused = engine._use_pallas_dense and engine._pallas_dense_fits(lvl)
+        if fused and not engine._uses_tilt:
+            tab = min(caps[0] * patch_b, img_b) if caps else 0
+        elif fused:
+            tab = 4 * tab_b + (min(caps[0] * 8 * patch_b, 2 * tab_b)
+                               if caps else 0)
+        else:
+            tab = (6 if engine._uses_tilt else 4) * tab_b
+        total += (2 * lvl.sh * work_w + 2 * img_b + tab
                   + 2 * 5 * lvl.n_windows)
     return total
 
@@ -558,9 +573,6 @@ def phase_chain(B):
     roofline_fps = 1.1 * V5E_PEAK_GBPS * 1e9 / bytes_per_frame
     samples = [_throughput(step, frames, B, n_iter=50, canary=False)
                for _ in range(3)]
-    canary_out = step(jnp_canary(frames))
-    if int(np.asarray(canary_out[1]).sum()) == 0:
-        print("WARNING: zero faces on face-bearing frames", file=sys.stderr)
     fps = min(samples)
     headline = min(fps, roofline_fps)
     print(json.dumps({
@@ -570,6 +582,18 @@ def phase_chain(B):
         "roofline_capped": fps > roofline_fps}), flush=True)
     _emit("haar_chain_720p_fps_per_chip", round(headline, 1), "frames/s",
           round(headline / 1000.0, 3))
+    # canary readback LAST: results already emitted, and on the tunnel
+    # harness a readback can hit transient device errors after heavy
+    # first-time compiles — warn, don't lose the measurement
+    try:
+        canary_out = step(jnp_canary(frames))
+        n_parts = sum(int(np.asarray(p[1]).sum()) for p in canary_out[2])
+        if int(np.asarray(canary_out[1]).sum()) + n_parts == 0:
+            print("WARNING: zero detections across the whole chain",
+                  file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"WARNING: chain canary readback failed: {e}",
+              file=sys.stderr)
 
 
 PHASES = {

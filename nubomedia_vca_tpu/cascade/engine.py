@@ -248,6 +248,16 @@ class CascadeEngine:
                              indexing="ij")
         self._patch_dy = dy.reshape(-1)
         self._patch_dx = dx.reshape(-1)
+        # survivor patches can equally be gathered from the LEVEL IMAGE
+        # (uint8, w0×h0) instead of the integral table: the doubly-relative
+        # normalization of an ii patch IS the patch-local integral image,
+        # so cumsum-ing the gathered pixels reproduces it entry-for-entry
+        # (int32 wraparound, < 2^24 → identical f32). The fused dense
+        # kernel then never has to emit ii to HBM (non-tilted cascades).
+        dyi, dxi = np.meshgrid(np.arange(self._ph - 1),
+                               np.arange(self._pw - 1), indexing="ij")
+        self._img_patch_dy = dyi.reshape(-1)
+        self._img_patch_dx = dxi.reshape(-1)
         self._uses_tilt = bool(c.has_tilted)
 
     def _make_block(self, w_lo, w_hi, s_lo, s_hi, frac) -> _Block:
@@ -491,16 +501,35 @@ class CascadeEngine:
                 win_ids = sel
                 iy, ix = sel // nx, sel % nx
                 y, x = iy * step, ix * step
-                sw1 = l.sw + 1
-                base = y * sw1 + x
-                poff = (self._patch_dy * sw1 + self._patch_dx)[None, None, :]
-                idx = base[:, :, None] + poff
                 k0 = sel.shape[1]
-                patch = jnp.take_along_axis(
-                    ii.reshape(B, -1), idx.reshape(B, -1), axis=1
-                ).reshape(B, k0, self._ph, self._pw)
-                patch = (patch - patch[:, :, :1, :] - patch[:, :, :, :1]
-                         + patch[:, :, :1, :1])
+                if ii is None:
+                    # fused-kernel path, no table in HBM: gather uint8
+                    # window pixels and rebuild the patch-local integral —
+                    # entry-for-entry identical to the doubly-relative ii
+                    # patch below (int32 wraparound; values < 2^24)
+                    base = y * l.sw + x
+                    poff = (self._img_patch_dy * l.sw
+                            + self._img_patch_dx)[None, None, :]
+                    idx = base[:, :, None] + poff
+                    pimg = jnp.take_along_axis(
+                        img.reshape(B, -1), idx.reshape(B, -1), axis=1
+                    ).reshape(B, k0, self._ph - 1, self._pw - 1)
+                    local = jnp.cumsum(
+                        jnp.cumsum(pimg.astype(jnp.int32), axis=-1),
+                        axis=-2)
+                    patch = jnp.pad(local,
+                                    ((0, 0), (0, 0), (1, 0), (1, 0)))
+                else:
+                    sw1 = l.sw + 1
+                    base = y * sw1 + x
+                    poff = (self._patch_dy * sw1
+                            + self._patch_dx)[None, None, :]
+                    idx = base[:, :, None] + poff
+                    patch = jnp.take_along_axis(
+                        ii.reshape(B, -1), idx.reshape(B, -1), axis=1
+                    ).reshape(B, k0, self._ph, self._pw)
+                    patch = (patch - patch[:, :, :1, :]
+                             - patch[:, :, :, :1] + patch[:, :, :1, :1])
                 patch = patch.reshape(B, k0, -1).astype(jnp.float32)
                 if self._uses_tilt:
                     patch_t = jnp.take_along_axis(

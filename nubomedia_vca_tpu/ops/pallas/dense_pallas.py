@@ -8,10 +8,15 @@ corner slice; this kernel instead keeps one VMEM residency per frame:
     uint8 level image → (in VMEM) integral, squared integral,
     [tilted integral when the cascade has 45° features,]
     variance normalization, unrolled dense weak/stage evaluation
-    → writes ii (+ iit, needed later for the survivor patch gather), the
-      normalization factors and the alive mask.
+    → writes the normalization factors and the alive mask — and, for
+      tilted cascades only, ii + iit for the survivor patch gather.
 
-The squared-integral table never touches HBM (it is only used densely),
+For non-tilted cascades NO integral table reaches HBM at all: the engine
+gathers each survivor's uint8 window pixels from the level image and
+rebuilds the patch-local integral in registers (bit-identical to the
+doubly-relative ii patch — engine.__init__ documents the identity), so
+the kernel's only outputs are the small f32/i8 grid maps. The
+squared-integral table never touches HBM on any path,
 and every dense corner read is a VMEM-local shifted slice. Numeric
 semantics are identical to the engine's XLA dense phase (same int32
 wraparound + f32 accumulation order), so window-exact OpenCV parity is
@@ -87,11 +92,18 @@ def build_dense_phase(engine, sh: int, sw: int):
     """One fused kernel for a `sh×sw` level of `engine`'s cascade.
 
     Returns fn: img [B, sh, sw] uint8 →
-        (ii [B, sh+1, sw+1] i32, iit [B, sh+1, sw+1] i32 | None,
+        (ii [B, sh+1, sw+1] i32 | None, iit [B, sh+1, sw+1] i32 | None,
          vnf [B, gy, gx] f32, alive [B, gy, gx] i8)
     with gy/gx the full-density window grid (ystep applied by the caller).
-    iit is emitted iff the cascade has tilted features (the engine's later
-    matmul blocks gather survivor patches from it).
+
+    For non-tilted cascades NO integral table leaves the kernel (ii is
+    None): the engine gathers survivor patches straight from the uint8
+    level image and rebuilds the patch-local integral (bit-identical to
+    the doubly-relative ii patch — see engine.__init__), so the only HBM
+    outputs are the tiny vnf/alive maps. Tilted cascades emit ii+iit for
+    the global-table patch gather (the tilted doubly-relative form is not
+    local-table-reconstructible bit-exactly, and OpenCV-order f32
+    accumulation must be preserved).
     """
     c = engine.cascade
     w0, h0 = c.window_w, c.window_h
@@ -120,12 +132,12 @@ def build_dense_phase(engine, sh: int, sw: int):
                      ((1, 0), (1, 0)))
         sq = jnp.pad(_log_shift_cumsum(_log_shift_cumsum(x * x, 1), 0),
                      ((1, 0), (1, 0)))
-        ii_ref[0] = ii
         if uses_tilt:
+            ii_ref[0] = ii
             iit = tilted_2d(x, cumsum=_roll_cumsum, shift=_roll_shift_cols)
             iit_ref[0] = iit
         else:
-            iit = None
+            iit = None   # ii stays in VMEM; survivors gather from the image
 
         valsum = _corner_sum(ii, norm_corners, gy, gx)
         sqv = _corner_sum(sq, norm_corners, gy, gx)
@@ -160,8 +172,8 @@ def build_dense_phase(engine, sh: int, sw: int):
     if uses_tilt:
         kernel = body
     else:
-        def kernel(img_ref, ii_ref, vnf_ref, alive_ref):  # no iit output
-            body(img_ref, ii_ref, None, vnf_ref, alive_ref)
+        def kernel(img_ref, vnf_ref, alive_ref):  # no table outputs
+            body(img_ref, None, None, vnf_ref, alive_ref)
 
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def dense_phase(img, interpret: bool | None = None):
@@ -170,8 +182,7 @@ def build_dense_phase(engine, sh: int, sw: int):
             interpret = jax.default_backend() != "tpu"
         B = img.shape[0]
         out_shape = (
-            jax.ShapeDtypeStruct((B, sh + 1, sw + 1), jnp.int32),
-            *((jax.ShapeDtypeStruct((B, sh + 1, sw + 1), jnp.int32),)
+            *((jax.ShapeDtypeStruct((B, sh + 1, sw + 1), jnp.int32),) * 2
               if uses_tilt else ()),
             jax.ShapeDtypeStruct((B, gy, gx), jnp.float32),
             jax.ShapeDtypeStruct((B, gy, gx), jnp.int8),
@@ -191,7 +202,7 @@ def build_dense_phase(engine, sh: int, sw: int):
         if uses_tilt:
             ii, iit, vnf, alive = outs
         else:
-            (ii, vnf, alive), iit = outs, None
+            (vnf, alive), ii, iit = outs, None, None
         return ii, iit, vnf, alive
 
     return dense_phase
