@@ -397,17 +397,24 @@ class CascadeEngine:
 
     # Mosaic allocates the dense kernel's whole live set on the VMEM stack;
     # measured ~250 B/grid-element for the face-alt dense block (a 241x321
-    # level wanted 19.19M > the 16M limit). Levels above this grid size run
-    # the XLA dense phase instead (per-level choice, same results). Tilted
-    # cascades additionally hold the RSAT skew buffers ([sh+1, sw+3·sh+1]
-    # i32), so their ceiling is lower.
+    # level wanted 19.19M > the 16M limit). Non-tilted levels above this
+    # size run the ROW-STRIP variant of the fused kernel (bit-identical —
+    # rect corner sums are translation-invariant, see dense_strip_plan);
+    # only levels too wide for even a minimal strip fall back to the XLA
+    # dense phase. Tilted cascades additionally hold the RSAT skew buffers
+    # ([sh+1, sw+3·sh+1] i32) and must emit globally-consistent ii/iit for
+    # the patch gather, so they keep the single-block ceiling.
     PALLAS_DENSE_MAX_ELEMS = 48_000
     PALLAS_DENSE_MAX_ELEMS_TILT = 16_000
 
     def _pallas_dense_fits(self, l) -> bool:
-        cap = (self.PALLAS_DENSE_MAX_ELEMS_TILT if self._uses_tilt
-               else self.PALLAS_DENSE_MAX_ELEMS)
-        return (l.sh + 1) * (l.sw + 1) <= cap
+        if self._uses_tilt:
+            return (l.sh + 1) * (l.sw + 1) <= self.PALLAS_DENSE_MAX_ELEMS_TILT
+        if (l.sh + 1) * (l.sw + 1) <= self.PALLAS_DENSE_MAX_ELEMS:
+            return True
+        from ..ops.pallas.dense_pallas import dense_strip_plan
+        return dense_strip_plan(l.sh, l.sw, self.cascade.window_h,
+                                self.PALLAS_DENSE_MAX_ELEMS) is not None
 
     def _eval_level(self, gray, li: int):
         """One pyramid level → (boxes [B,cap,4], alive [B,cap], ovf [B])."""

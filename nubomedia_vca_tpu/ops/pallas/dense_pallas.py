@@ -88,6 +88,33 @@ def _roll_cumsum(a, axis):
     return a
 
 
+def dense_strip_plan(sh: int, sw: int, h0: int, max_elems: int):
+    """Row-strip tiling plan for levels too large for one VMEM block.
+
+    Mosaic allocates the dense evaluation's whole live set on the VMEM
+    stack (~250 B/grid element), so a level must be processed in
+    horizontal strips once (sh+1)(sw+1) exceeds `max_elems`. Rect corner
+    sums are translation-invariant under int32 wraparound — the strip
+    offsets ii[y0][x*] cancel in every 4-corner combination — so a
+    strip-local integral over [y0, y0+strip_rows) with an h0-row halo is
+    BIT-identical to the global table for every window contained in the
+    strip. No cross-strip carry exists; strips are fully parallel.
+
+    Returns (strip_gy, n_strips, strip_rows, sh_padded) or None when the
+    level is too wide for even a minimal strip (caller falls back to the
+    XLA dense phase). strip_gy is a multiple of 32 so the dynamic row
+    slice start stays aligned to the int8/int32 sublane tiling.
+    """
+    max_rows = max_elems // (sw + 1) - 1      # level rows per strip budget
+    strip_gy = ((max_rows - h0 + 1) // 32) * 32
+    if strip_gy < 32:
+        return None
+    gy = sh - h0 + 1
+    n = -(-gy // strip_gy)
+    strip_rows = strip_gy + h0 - 1
+    return strip_gy, n, strip_rows, n * strip_gy + h0 - 1
+
+
 def build_dense_phase(engine, sh: int, sw: int):
     """One fused kernel for a `sh×sw` level of `engine`'s cascade.
 
@@ -117,30 +144,31 @@ def build_dense_phase(engine, sh: int, sw: int):
     n_dense = engine.n_dense_stages
     uses_tilt = bool(engine._uses_tilt)
 
-    def feature(ii, iit, fid):
+    def feature(ii, iit, fid, gy_k):
         val = None
         for table, corners, wgt in feat_rects[fid]:
             tab = ii if table == "sum" else iit
-            rs = _corner_sum(tab, corners, gy, gx).astype(jnp.float32)
+            rs = _corner_sum(tab, corners, gy_k, gx).astype(jnp.float32)
             term = rs * jnp.float32(wgt)
             val = term if val is None else val + term
         return val
 
-    def body(img_ref, ii_ref, iit_ref, vnf_ref, alive_ref):
-        x = img_ref[0].astype(jnp.int32)
+    def eval_dense(x, gy_k):
+        """x [rows, sw] int32 → (ii, iit, vnf, alive) for a gy_k×gx grid.
+        rows may be a strip of the level (rows = gy_k + h0 - 1); rect
+        corner sums are translation-invariant so the results are
+        bit-identical to evaluating on the whole level."""
         ii = jnp.pad(_log_shift_cumsum(_log_shift_cumsum(x, 1), 0),
                      ((1, 0), (1, 0)))
         sq = jnp.pad(_log_shift_cumsum(_log_shift_cumsum(x * x, 1), 0),
                      ((1, 0), (1, 0)))
         if uses_tilt:
-            ii_ref[0] = ii
             iit = tilted_2d(x, cumsum=_roll_cumsum, shift=_roll_shift_cols)
-            iit_ref[0] = iit
         else:
             iit = None   # ii stays in VMEM; survivors gather from the image
 
-        valsum = _corner_sum(ii, norm_corners, gy, gx)
-        sqv = _corner_sum(sq, norm_corners, gy, gx)
+        valsum = _corner_sum(ii, norm_corners, gy_k, gx)
+        sqv = _corner_sum(sq, norm_corners, gy_k, gx)
         # the true window sq-sum is < 255^2*(nw*nh) << 2^31, so the int32
         # wraparound 4-corner sum is already the exact non-negative value;
         # no uint32 view needed (Mosaic lacks a uint32→f32 cast). Value-
@@ -150,16 +178,15 @@ def build_dense_phase(engine, sh: int, sw: int):
         win_valid = nf > 100.0 * norm_area * norm_area
         vnf = jnp.where(win_valid,
                         1.0 / jnp.sqrt(jnp.maximum(nf, 1e-20)), 1.0)
-        vnf_ref[0] = vnf
 
         alive = win_valid
         widx, n_d = 0, len(d["feat0"])
         for s_idx in range(n_dense):
             ssum = jnp.zeros_like(vnf)
             while widx < n_d and d["stage"][widx] == s_idx:
-                f0 = feature(ii, iit, int(d["feat0"][widx])) * vnf
-                fL = feature(ii, iit, int(d["featL"][widx])) * vnf
-                fR = feature(ii, iit, int(d["featR"][widx])) * vnf
+                f0 = feature(ii, iit, int(d["feat0"][widx]), gy_k) * vnf
+                fL = feature(ii, iit, int(d["featL"][widx]), gy_k) * vnf
+                fR = feature(ii, iit, int(d["featR"][widx]), gy_k) * vnf
                 lv = jnp.where(fL < d["thrL"][widx],
                                d["leavesL"][widx][0], d["leavesL"][widx][1])
                 rv = jnp.where(fR < d["thrR"][widx],
@@ -167,13 +194,68 @@ def build_dense_phase(engine, sh: int, sw: int):
                 ssum = ssum + jnp.where(f0 < d["thr0"][widx], lv, rv)
                 widx += 1
             alive = alive & (ssum >= d["stage_thr"][s_idx])
-        alive_ref[0] = alive.astype(jnp.int8)
+        return ii, iit, vnf, alive.astype(jnp.int8)
 
     if uses_tilt:
-        kernel = body
+        def kernel(img_ref, ii_ref, iit_ref, vnf_ref, alive_ref):
+            ii, iit, vnf, alive = eval_dense(img_ref[0].astype(jnp.int32), gy)
+            ii_ref[0] = ii
+            iit_ref[0] = iit
+            vnf_ref[0] = vnf
+            alive_ref[0] = alive
     else:
         def kernel(img_ref, vnf_ref, alive_ref):  # no table outputs
-            body(img_ref, None, None, vnf_ref, alive_ref)
+            _, _, vnf, alive = eval_dense(img_ref[0].astype(jnp.int32), gy)
+            vnf_ref[0] = vnf
+            alive_ref[0] = alive
+
+    plan = None
+    if not uses_tilt and (sh + 1) * (sw + 1) > engine.PALLAS_DENSE_MAX_ELEMS:
+        plan = dense_strip_plan(sh, sw, h0, engine.PALLAS_DENSE_MAX_ELEMS)
+        if plan is None:
+            raise ValueError("level too wide for the strip dense kernel")
+
+    if plan is not None:
+        strip_gy, n_strips, strip_rows, sh_pad = plan
+
+        def strip_kernel(img_ref, vnf_ref, alive_ref):
+            s = pl.program_id(1)
+            # dynamic ref load (Mosaic has no value-level dynamic_slice);
+            # start is a multiple of 32, aligned to the int8 sublane tile
+            x = img_ref[0, pl.ds(s * strip_gy, strip_rows), :]
+            _, _, vnf, alive = eval_dense(x.astype(jnp.int32), strip_gy)
+            vnf_ref[0] = vnf
+            alive_ref[0] = alive
+
+        @functools.partial(jax.jit, static_argnames=("interpret",))
+        def dense_phase_strips(img, interpret: bool | None = None):
+            if interpret is None:
+                interpret = jax.default_backend() != "tpu"
+            B = img.shape[0]
+            # bottom zero-pad so every strip's row slice is in bounds; the
+            # padded rows only feed windows past gy, dropped below
+            img_p = jnp.pad(img, ((0, 0), (0, sh_pad - sh), (0, 0)))
+            gy_p = n_strips * strip_gy
+            out_shape = (
+                jax.ShapeDtypeStruct((B, gy_p, gx), jnp.float32),
+                jax.ShapeDtypeStruct((B, gy_p, gx), jnp.int8),
+            )
+            vnf, alive = pl.pallas_call(
+                strip_kernel,
+                grid=(B, n_strips),
+                in_specs=[pl.BlockSpec((1, sh_pad, sw),
+                                       lambda b, s: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=tuple(
+                    pl.BlockSpec((1, strip_gy, gx), lambda b, s: (b, s, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in out_shape),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(img_p)
+            return None, None, vnf[:, :gy], alive[:, :gy]
+
+        return dense_phase_strips
 
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def dense_phase(img, interpret: bool | None = None):

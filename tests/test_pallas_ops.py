@@ -67,6 +67,41 @@ def test_dense_phase_kernel_matches_xla_engine(rng):
     assert total > 0  # non-vacuous: the scene actually fires the cascade
 
 
+def test_dense_phase_strip_kernel_matches_xla_engine(rng):
+    """Levels above the single-block VMEM cap run the ROW-STRIP variant of
+    the fused dense kernel (strip-local integral + h0-row halo; rect corner
+    sums are translation-invariant so results are bit-identical). Window
+    sets must equal the XLA dense phase, non-vacuously."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import face_scene
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+    from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
+    from nubomedia_vca_tpu.ops.pallas.dense_pallas import dense_strip_plan
+
+    casc = load_cascade_xml(
+        "/usr/share/opencv4/haarcascades/haarcascade_eye.xml")
+    frames = np.stack([
+        face_scene(320, 200, faces=((80, 100, 60), (240, 100, 70)),
+                   noise=8, seed=s)
+        for s in range(2)
+    ])
+    gray = jnp.asarray(frames)
+    eng_xla = CascadeEngine(casc, (320, 200), 2.0, use_pallas_dense=False)
+    eng_pk = CascadeEngine(casc, (320, 200), 2.0, use_pallas_dense=True)
+    l0 = eng_pk.levels[0]
+    assert (l0.sh + 1) * (l0.sw + 1) > eng_pk.PALLAS_DENSE_MAX_ELEMS
+    plan = dense_strip_plan(l0.sh, l0.sw, casc.window_h,
+                            eng_pk.PALLAS_DENSE_MAX_ELEMS)
+    assert plan is not None and plan[1] >= 2   # really multi-strip
+    assert eng_pk._pallas_dense_fits(l0)
+    total = 0
+    for a, b in zip(eng_xla.candidates(gray), eng_pk.candidates(gray)):
+        assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
+        total += len(a)
+    assert total > 0
+
+
 def test_dense_phase_kernel_tilted_cascade(rng):
     """Tilt-using cascade (lefteye_2splits: 186 tilted features) through the
     fused kernel — in-kernel skewed-prefix-sum RSAT + tilted corner reads
