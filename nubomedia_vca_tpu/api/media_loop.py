@@ -94,14 +94,25 @@ class MediaRunner:
         if output and downscale:
             raise ValueError("output rendering needs full-resolution "
                              "frames; downscale must stay off")
+        if self.port is not None:
+            raise OSError("runner is already listening on port "
+                          f"{self.port}")
         if downscale:
             self.enable_ingest_downscale()   # validates before any socket
         color = bool(output) and channels in (3, 4)
         if color:
             self.ingest.set_retain_color(True)
-        self.port = self.ingest.listen(port, channels)
-        # state flips only after the listen socket is actually up — a
-        # failed listen() must not leave the runner half-configured
+        try:
+            self.port = self.ingest.listen(port, channels)
+        except Exception:
+            # a failed listen() must not leave the live ingest
+            # half-configured (retention/downscale already applied above)
+            if color:
+                self.ingest.set_retain_color(False)
+            if downscale:
+                self.ingest.set_work(0, 0)
+                self._downscale_res = None
+            raise
         self.output = bool(output)
         self.color_output = color
         self._start()

@@ -485,10 +485,13 @@ class NuboCnnFaceDetector(_FilterObject):
         want_quant = bool(self._config.quantized)
         if want_quant != isinstance(self._model, QuantizedCnnFaceDetector):
             # int8 ⇄ f32 swaps the device program class; temporal track
-            # state carries over to the new model
-            tracks = self._model.tracks
+            # state AND scheduler clocks (GOP counter, event-gate budget)
+            # carry over to the new model — like every other live setter
+            old = self._model
             self._model = self._build_model()
-            self._model.tracks = tracks
+            self._model.tracks = old.tracks
+            self._model.gop.counter = old.gop.counter
+            self._model.gate.budget = old.gate.budget
         else:
             self._model.reconfigure(
                 threshold=self._config.threshold,

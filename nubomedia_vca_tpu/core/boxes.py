@@ -23,6 +23,18 @@ def areas(boxes):
     return boxes[..., 2] * boxes[..., 3]
 
 
+def iou(a, b) -> float:
+    """Scalar IoU of two (x, y, w, h) boxes — host-side python floats.
+    The single shared implementation for eval/merge helpers (the device
+    path uses iou_matrix below)."""
+    ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
+    bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
+    iw = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+    ih = max(0.0, min(ay1, by1) - max(ay0, by0))
+    inter = iw * ih
+    return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
+
+
 def iou_matrix(a, b):
     """a [N,4], b [M,4] → [N,M] IoU (float32)."""
     ax1, ay1 = a[:, 0], a[:, 1]

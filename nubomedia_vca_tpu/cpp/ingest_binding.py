@@ -215,20 +215,23 @@ class PythonIngest:
 
             def writer():
                 import time
-                while stream in self._conns:
-                    try:
-                        buf = q.popleft()
-                    except IndexError:
-                        time.sleep(0.005)
-                        continue
-                    try:
-                        self._conns[stream].sendall(buf)
-                    except (OSError, KeyError):
-                        self._conns.pop(stream, None)
-                        return
-                    finally:
-                        pass
-                self._out_queues.pop(stream, None)
+                try:
+                    while stream in self._conns:
+                        try:
+                            buf = q.popleft()
+                        except IndexError:
+                            time.sleep(0.005)
+                            continue
+                        try:
+                            self._conns[stream].sendall(buf)
+                        except (OSError, KeyError):
+                            self._conns.pop(stream, None)
+                            return
+                finally:
+                    # every exit path must release the queue — stream ids
+                    # are never reused, so a leak here pins up to
+                    # MAX_OUT_QUEUE full frames per dead connection
+                    self._out_queues.pop(stream, None)
 
             threading.Thread(target=writer, daemon=True).start()
         if len(q) >= self.MAX_OUT_QUEUE:

@@ -232,13 +232,7 @@ def evaluate(params=None, n_scenes: int = 48, seed: int = 123,
     rng = np.random.RandomState(seed)
     stats = {k: [0, 0, 0] for k in CLASSES}   # tp, fn, fp
 
-    def iou(a, b):
-        ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
-        bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
-        iw = max(0.0, min(ax1, bx1) - max(ax0, bx0))
-        ih = max(0.0, min(ay1, by1) - max(ay0, by0))
-        inter = iw * ih
-        return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
+    from ..core.boxes import iou
 
     for _ in range(n_scenes):
         img, boxes, valid = scene_with_parts(rng)

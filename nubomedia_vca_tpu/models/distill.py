@@ -153,13 +153,7 @@ def evaluate(params, n_scenes: int = 64, seed: int = 123,
     t_boxes, t_valid = label_batch(teacher, scenes)
     s_boxes = det.detect_boxes(jnp.asarray(scenes))
 
-    def iou(a, b):
-        ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
-        bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
-        iw = max(0.0, min(ax1, bx1) - max(ax0, bx0))
-        ih = max(0.0, min(ay1, by1) - max(ay0, by0))
-        inter = iw * ih
-        return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
+    from ..core.boxes import iou
 
     tp = fn = fp = 0
     for i in range(n_scenes):

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core.boxes import iou as _iou
+
 
 # ------------------------------------------------------------ frontal face
 def draw_face(img: np.ndarray, cx: int, cy: int, s: int,
@@ -122,10 +124,12 @@ def _jitter_crop(img, box, rng, window, pos_jitter=0.08, scale_jitter=0.12):
     jx = x + int(round(rng.uniform(-pos_jitter, pos_jitter) * w))
     jy = y + int(round(rng.uniform(-pos_jitter, pos_jitter) * h))
     H, W = img.shape
+    if jw < 4 or jh < 4 or jw > W or jh > H:
+        # reject (don't clamp-and-truncate): a silently truncated crop
+        # would be resized as if it were jw x jh, distorting the sample
+        return None
     jx = max(0, min(W - jw, jx))
     jy = max(0, min(H - jh, jy))
-    if jw < 4 or jh < 4 or jx < 0 or jy < 0:
-        return None
     crop = img[jy:jy + jh, jx:jx + jw]
     return cv2.resize(crop, window, interpolation=cv2.INTER_LINEAR_EXACT)
 
@@ -162,15 +166,6 @@ def _rects_overlap(a, b):
     bx, by, bw, bh = b
     return not (ax + aw <= bx or bx + bw <= ax
                 or ay + ah <= by or by + bh <= ay)
-
-
-def _iou(a, b):
-    ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
-    bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
-    iw = max(0, min(ax1, bx1) - max(ax0, bx0))
-    ih = max(0, min(ay1, by1) - max(ay0, by0))
-    inter = iw * ih
-    return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
 
 
 def make_samplers(part: str, window=(20, 20)):

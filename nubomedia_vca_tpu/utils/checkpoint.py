@@ -59,10 +59,14 @@ def snapshot_detector(model) -> dict:
             }
             for sid, st in model._streams.items()
         }
-        # stream-0 aliases keep old snapshots readable by old code
-        state["prev"] = {k: list(v) for k, v in model._prev.items()}
-        state["gop_counter"] = model.gop.counter
-        state["gate_budget"] = model.gate.budget
+        # stream-0 aliases keep old snapshots readable by old code.
+        # Read stream 0's state explicitly — model._prev/gop/gate proxy
+        # the ACTIVE (last-processed) stream, which need not be stream 0.
+        st0 = model._streams.get(0)
+        if st0 is not None:
+            state["prev"] = {k: list(v) for k, v in st0.prev.items()}
+            state["gop_counter"] = st0.gop.counter
+            state["gate_budget"] = st0.gate.budget
     if hasattr(model, "_states") and hasattr(model, "_frame_idx"):  # Tracker
         state["tracker_streams"] = {
             int(sid): {

@@ -33,13 +33,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 
-def _iou(a, b):
-    ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
-    bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
-    iw = max(0.0, min(ax1, bx1) - max(ax0, bx0))
-    ih = max(0.0, min(ay1, by1) - max(ay0, by0))
-    inter = iw * ih
-    return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
+from nubomedia_vca_tpu.core.boxes import iou as _iou
 
 
 def _load_gray(path_or_array):
