@@ -607,10 +607,20 @@ PHASES = {
     "chain": phase_chain,
 }
 
-# cheap phases first; the headline (grouped) runs last so its JSON line is
-# the final stdout line for drivers that keep only one
+# EXECUTION order: the headline (grouped) runs FIRST — the tunnel harness
+# enters a lasting degraded-execution mode after heavy D2H traffic (the
+# e2e/latency/chain phases all read detections back), and that mode
+# persists across processes, so a last-run grouped phase measures the
+# degraded tunnel, not the device (observed 455K fps vs 1.16M fresh).
+# DISPLAY order still puts grouped's JSON last for drivers that keep only
+# the final stdout line.
+PHASE_EXEC_ORDER = ["grouped", "raw", "latency", "e2e_fullres", "e2e",
+                    "feeder", "cnn", "chain"]
 PHASE_ORDER = ["raw", "latency", "e2e_fullres", "e2e", "feeder", "cnn",
                "chain", "grouped"]
+# chain cold-compiles five sf=1.1 part engines (hundreds of per-level
+# programs through the remote compiler) — needs more than the default cap
+PHASE_TIMEOUTS = {"chain": 5400}
 
 
 def main():
@@ -620,25 +630,28 @@ def main():
         PHASES[args[1]](B)
         return
     B = int(args[0]) if args else 64
-    for name in PHASE_ORDER:
+    outputs: dict[str, str] = {}
+    for name in PHASE_EXEC_ORDER:
         # a phase that hangs (tunnel congestion) must not take the
         # remaining phases down with it — especially not the headline
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--phase", name, str(B)],
-                capture_output=True, text=True, timeout=2400)
+                capture_output=True, text=True,
+                timeout=PHASE_TIMEOUTS.get(name, 2400))
         except subprocess.TimeoutExpired as e:
             out = e.stdout or b""
-            sys.stdout.write(out.decode() if isinstance(out, bytes) else out)
-            sys.stdout.flush()
+            outputs[name] = out.decode() if isinstance(out, bytes) else out
             print(f"phase {name} timed out after {e.timeout}s",
                   file=sys.stderr)
             continue
-        sys.stdout.write(r.stdout)
-        sys.stdout.flush()
+        outputs[name] = r.stdout
         if r.returncode != 0:
             print(f"phase {name} failed:\n{r.stderr[-2000:]}",
                   file=sys.stderr)
+    for name in PHASE_ORDER:
+        sys.stdout.write(outputs.get(name, ""))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
