@@ -60,6 +60,10 @@ def test_dense_phase_kernel_matches_xla_engine(rng):
     eng_xla = CascadeEngine(casc, (96, 72), 1.25, use_pallas_dense=False)
     eng_pk = CascadeEngine(casc, (96, 72), 1.25, use_pallas_dense=True)
     assert eng_pk._use_pallas_dense
+    # the sf=1.25 pyramid's early levels have ystep=2, so this parity run
+    # exercises the kernel's strided-grid emission path non-vacuously
+    assert any(l.ystep == 2 and eng_pk._pallas_dense_fits(l)
+               for l in eng_pk.levels)
     total = 0
     for a, b in zip(eng_xla.candidates(gray), eng_pk.candidates(gray)):
         assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
@@ -100,6 +104,26 @@ def test_dense_phase_strip_kernel_matches_xla_engine(rng):
         assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
         total += len(a)
     assert total > 0
+
+
+def test_stride_select_bit_exact(rng):
+    """The one-hot-matmul row/column selection the strided dense kernel
+    uses (Mosaic rejects strided vector slices) must be BIT-identical to
+    a numpy strided gather, including on f32 values that don't round-trip
+    through bf16 — Precision.HIGHEST reconstructs each operand exactly."""
+    import jax
+    from nubomedia_vca_tpu.ops.pallas.dense_pallas import _stride_select
+
+    for shape in [(64, 96), (63, 95), (32, 33)]:
+        # full f32 mantissas: tiny ulp-level differences would betray a
+        # bf16-truncated matmul
+        m = np.float32(rng.standard_normal(shape) * 1e3 + 0.1234567)
+        for step in (1, 2, 3):
+            got = np.asarray(jax.jit(_stride_select,
+                                     static_argnums=1)(jnp.asarray(m), step))
+            want = m[::step, ::step]
+            assert got.shape == want.shape
+            assert np.array_equal(got, want), (shape, step)
 
 
 def test_dense_phase_kernel_tilted_cascade(rng):
