@@ -414,7 +414,8 @@ class CascadeEngine:
             return True
         from ..ops.pallas.dense_pallas import dense_strip_plan
         return dense_strip_plan(l.sh, l.sw, self.cascade.window_h,
-                                self.PALLAS_DENSE_MAX_ELEMS) is not None
+                                self.PALLAS_DENSE_MAX_ELEMS,
+                                l.ystep) is not None
 
     def _eval_level(self, gray, li: int):
         """One pyramid level → (boxes [B,cap,4], alive [B,cap], ovf [B])."""
@@ -430,17 +431,17 @@ class CascadeEngine:
 
             if self._use_pallas_dense and self._pallas_dense_fits(l):
                 # fused kernel: integral + sq-integral + norm + dense stages
-                # in one VMEM residency (iisq never reaches HBM); the kernel
-                # emits full-density maps, subsampled to the ystep grid here.
-                kern = self._dense_kernels.get((l.sh, l.sw))
+                # in one VMEM residency (iisq never reaches HBM); evaluation
+                # runs at full density in VMEM but only the ystep-strided
+                # [ny, nx] grid is emitted, so HBM map traffic drops 4x on
+                # step-2 levels (exactly the largest pyramid levels).
+                kern = self._dense_kernels.get((l.sh, l.sw, step))
                 if kern is None:
                     from ..ops.pallas.dense_pallas import build_dense_phase
-                    kern = build_dense_phase(self, l.sh, l.sw)
-                    self._dense_kernels[(l.sh, l.sw)] = kern
-                ii, iit, vnf_full, alive_full = kern(img)
-                sub = (slice(None), slice(0, None, step), slice(0, None, step))
-                alive = alive_full[sub].astype(bool)
-                vnf = vnf_full[sub]
+                    kern = build_dense_phase(self, l.sh, l.sw, step)
+                    self._dense_kernels[(l.sh, l.sw, step)] = kern
+                ii, iit, vnf, alive = kern(img)
+                alive = alive.astype(bool)
             else:
                 if self._use_pallas_integral:
                     # fused kernel: one VMEM pass produces both tables
@@ -586,7 +587,24 @@ class CascadeEngine:
             if fn is None:
                 fn = jax.jit(functools.partial(self._eval_level, li=li))
                 self._level_jits[li] = fn
-            outs.append(fn(gray))
+            try:
+                outs.append(fn(gray))
+            except Exception:  # noqa: BLE001 — Pallas lowering failure
+                # last recovery tier: a Pallas kernel this backend can't
+                # lower (Mosaic version drift, exotic level geometry).
+                # The XLA dense/integral phase is bit-identical — drop
+                # the kernels engine-wide and rebuild this level's
+                # program (later levels rebuild via the cleared cache).
+                if not (self._use_pallas_dense or self._use_pallas_integral):
+                    raise
+                self._use_pallas_dense = False
+                self._use_pallas_integral = False
+                self._dense_kernels.clear()
+                self._level_jits = {
+                    k: v for k, v in self._level_jits.items() if k < li}
+                fn = jax.jit(functools.partial(self._eval_level, li=li))
+                self._level_jits[li] = fn
+                outs.append(fn(gray))
         boxes = jnp.concatenate([o[0] for o in outs], axis=1)
         valid = jnp.concatenate([o[1] for o in outs], axis=1)
         ovf = outs[0][2]

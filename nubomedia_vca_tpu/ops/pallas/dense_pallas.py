@@ -31,9 +31,12 @@ too. The tilted table is wider in flight ([sh+1, sw+3·sh+1] skew buffers),
 so the engine gates tilt kernels at a smaller level size
 (PALLAS_DENSE_MAX_ELEMS_TILT).
 
-Dense evaluation runs at ystep=1 density (all `gy×gx` positions); the
-engine subsamples `[::ystep]` outside — on the VPU the extra positions are
-cheaper than strided reads.
+Dense evaluation computes at full density in VMEM but emits only the
+level's ystep-strided `[ny, nx]` grid (the same grid the engine's XLA
+phase evaluates), selected by exact one-hot MXU matmuls — Mosaic rejects
+strided vector slices — so HBM map traffic drops 4x on step-2 levels,
+which are exactly the largest pyramid levels (OpenCV uses ystep 2 below
+pyramid factor 2).
 """
 
 from __future__ import annotations
@@ -62,6 +65,28 @@ def _corner_sum(tab, corners, gy, gx):
     return acc
 
 
+def _stride_select(m, step):
+    """[gy, gx] f32 → [ceil(gy/step), ceil(gx/step)] f32: every step-th
+    row/column, selected by one-hot MXU matmuls (Mosaic rejects strided
+    vector slices). One-hot rows have a single 1.0, and HIGHEST precision
+    reconstructs each f32 operand exactly from its bf16 triple, so the
+    selected values are BIT-identical to a strided gather."""
+    if step == 1:
+        return m
+    gy, gx = m.shape
+    ny, nx = -(-gy // step), -(-gx // step)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (ny, gy), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (ny, gy), 1)
+    rsel = (rj == ri * step).astype(jnp.float32)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (gx, nx), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (gx, nx), 1)
+    csel = (ci == cj * step).astype(jnp.float32)
+    out = jax.lax.dot_general(m, csel, (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(rsel, out, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+
+
 def _roll_shift(a, s, axis):
     """Zero-filled shift via circular `pltpu.roll` + mask. Mosaic-friendly:
     `jnp.pad`-based shifts become tpu.concatenate ops that Mosaic rejects
@@ -88,7 +113,8 @@ def _roll_cumsum(a, axis):
     return a
 
 
-def dense_strip_plan(sh: int, sw: int, h0: int, max_elems: int):
+def dense_strip_plan(sh: int, sw: int, h0: int, max_elems: int,
+                     step: int = 1):
     """Row-strip tiling plan for levels too large for one VMEM block.
 
     Mosaic allocates the dense evaluation's whole live set on the VMEM
@@ -102,12 +128,15 @@ def dense_strip_plan(sh: int, sw: int, h0: int, max_elems: int):
 
     Returns (strip_gy, n_strips, strip_rows, sh_padded) or None when the
     level is too wide for even a minimal strip (caller falls back to the
-    XLA dense phase). strip_gy is a multiple of 32 so the dynamic row
-    slice start stays aligned to the int8/int32 sublane tiling.
+    XLA dense phase). strip_gy is a multiple of 32*step so both the
+    dynamic row-slice start AND the ystep-strided output blocks
+    (strip_gy/step rows each) stay aligned to the int8/int32 sublane
+    tiling.
     """
+    align = 32 * step
     max_rows = max_elems // (sw + 1) - 1      # level rows per strip budget
-    strip_gy = ((max_rows - h0 + 1) // 32) * 32
-    if strip_gy < 32:
+    strip_gy = ((max_rows - h0 + 1) // align) * align
+    if strip_gy < align:
         return None
     gy = sh - h0 + 1
     n = -(-gy // strip_gy)
@@ -115,13 +144,17 @@ def dense_strip_plan(sh: int, sw: int, h0: int, max_elems: int):
     return strip_gy, n, strip_rows, n * strip_gy + h0 - 1
 
 
-def build_dense_phase(engine, sh: int, sw: int):
+def build_dense_phase(engine, sh: int, sw: int, step: int = 1):
     """One fused kernel for a `sh×sw` level of `engine`'s cascade.
 
     Returns fn: img [B, sh, sw] uint8 →
         (ii [B, sh+1, sw+1] i32 | None, iit [B, sh+1, sw+1] i32 | None,
-         vnf [B, gy, gx] f32, alive [B, gy, gx] i8)
-    with gy/gx the full-density window grid (ystep applied by the caller).
+         vnf [B, ny, nx] f32, alive [B, ny, nx] i8)
+    with ny×nx the level's ystep-strided window grid (`step` = l.ystep):
+    evaluation runs at full density in VMEM (strided vector slices don't
+    lower in Mosaic) but only the strided grid is emitted — via exact
+    one-hot-matmul selection — so HBM map traffic drops 4x on step-2
+    levels and matches the engine's XLA-phase grid exactly.
 
     For non-tilted cascades NO integral table leaves the kernel (ii is
     None): the engine gathers survivor patches straight from the uint8
@@ -137,6 +170,7 @@ def build_dense_phase(engine, sh: int, sw: int):
     gy, gx = sh - h0 + 1, sw - w0 + 1
     if gy <= 0 or gx <= 0:
         raise ValueError("level smaller than cascade window")
+    nyg, nxg = -(-gy // step), -(-gx // step)   # global strided grid
     d = engine._dense
     feat_rects = engine._feat_rects
     norm_corners = engine._norm_corners
@@ -194,7 +228,11 @@ def build_dense_phase(engine, sh: int, sw: int):
                 ssum = ssum + jnp.where(f0 < d["thr0"][widx], lv, rv)
                 widx += 1
             alive = alive & (ssum >= d["stage_thr"][s_idx])
-        return ii, iit, vnf, alive.astype(jnp.int8)
+        # emit only the ystep-strided window grid (the engine's XLA phase
+        # evaluates the same grid): 4x smaller HBM maps on step-2 levels
+        vnf_s = _stride_select(vnf, step)
+        alive_s = _stride_select(alive.astype(jnp.float32), step) > 0.5
+        return ii, iit, vnf_s, alive_s.astype(jnp.int8)
 
     if uses_tilt:
         def kernel(img_ref, ii_ref, iit_ref, vnf_ref, alive_ref):
@@ -211,17 +249,22 @@ def build_dense_phase(engine, sh: int, sw: int):
 
     plan = None
     if not uses_tilt and (sh + 1) * (sw + 1) > engine.PALLAS_DENSE_MAX_ELEMS:
-        plan = dense_strip_plan(sh, sw, h0, engine.PALLAS_DENSE_MAX_ELEMS)
+        plan = dense_strip_plan(sh, sw, h0, engine.PALLAS_DENSE_MAX_ELEMS,
+                                step)
         if plan is None:
             raise ValueError("level too wide for the strip dense kernel")
 
     if plan is not None:
         strip_gy, n_strips, strip_rows, sh_pad = plan
 
+        ny_s = strip_gy // step   # strip_gy is a multiple of 32*step
+
         def strip_kernel(img_ref, vnf_ref, alive_ref):
             s = pl.program_id(1)
             # dynamic ref load (Mosaic has no value-level dynamic_slice);
-            # start is a multiple of 32, aligned to the int8 sublane tile
+            # start is a multiple of 32, aligned to the int8 sublane tile.
+            # Global strided rows land on per-strip local offsets 0, step,
+            # ... because step divides strip_gy.
             x = img_ref[0, pl.ds(s * strip_gy, strip_rows), :]
             _, _, vnf, alive = eval_dense(x.astype(jnp.int32), strip_gy)
             vnf_ref[0] = vnf
@@ -235,10 +278,10 @@ def build_dense_phase(engine, sh: int, sw: int):
             # bottom zero-pad so every strip's row slice is in bounds; the
             # padded rows only feed windows past gy, dropped below
             img_p = jnp.pad(img, ((0, 0), (0, sh_pad - sh), (0, 0)))
-            gy_p = n_strips * strip_gy
+            ny_p = n_strips * ny_s
             out_shape = (
-                jax.ShapeDtypeStruct((B, gy_p, gx), jnp.float32),
-                jax.ShapeDtypeStruct((B, gy_p, gx), jnp.int8),
+                jax.ShapeDtypeStruct((B, ny_p, nxg), jnp.float32),
+                jax.ShapeDtypeStruct((B, ny_p, nxg), jnp.int8),
             )
             vnf, alive = pl.pallas_call(
                 strip_kernel,
@@ -247,13 +290,13 @@ def build_dense_phase(engine, sh: int, sw: int):
                                        lambda b, s: (b, 0, 0),
                                        memory_space=pltpu.VMEM)],
                 out_specs=tuple(
-                    pl.BlockSpec((1, strip_gy, gx), lambda b, s: (b, s, 0),
+                    pl.BlockSpec((1, ny_s, nxg), lambda b, s: (b, s, 0),
                                  memory_space=pltpu.VMEM)
                     for _ in out_shape),
                 out_shape=out_shape,
                 interpret=interpret,
             )(img_p)
-            return None, None, vnf[:, :gy], alive[:, :gy]
+            return None, None, vnf[:, :nyg], alive[:, :nyg]
 
         return dense_phase_strips
 
@@ -266,8 +309,8 @@ def build_dense_phase(engine, sh: int, sw: int):
         out_shape = (
             *((jax.ShapeDtypeStruct((B, sh + 1, sw + 1), jnp.int32),) * 2
               if uses_tilt else ()),
-            jax.ShapeDtypeStruct((B, gy, gx), jnp.float32),
-            jax.ShapeDtypeStruct((B, gy, gx), jnp.int8),
+            jax.ShapeDtypeStruct((B, nyg, nxg), jnp.float32),
+            jax.ShapeDtypeStruct((B, nyg, nxg), jnp.int8),
         )
         outs = pl.pallas_call(
             kernel,

@@ -126,6 +126,37 @@ def test_stride_select_bit_exact(rng):
             assert np.array_equal(got, want), (shape, step)
 
 
+def test_pallas_failure_falls_back_to_xla_phase(rng, monkeypatch):
+    """Last recovery tier: if a Pallas kernel cannot be built/lowered on
+    this backend, detect_raw must still return the (bit-identical) XLA
+    phase's result — whole-pyramid → per-level → kernels-disabled chain —
+    instead of surfacing the backend error to the serving loop."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import face_scene
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+    from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
+    from nubomedia_vca_tpu.ops.pallas import dense_pallas
+
+    casc = load_cascade_xml(
+        "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml")
+    img = jnp.asarray(face_scene(96, 72, faces=((48, 36, 28),), noise=8))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated Mosaic lowering failure")
+
+    monkeypatch.setattr(dense_pallas, "build_dense_phase", boom)
+    eng = CascadeEngine(casc, (96, 72), 1.25, use_pallas_dense=True)
+    boxes, valid, _ = (np.asarray(x) for x in eng.detect_raw(img))
+    assert not eng._use_pallas_dense          # kernels dropped engine-wide
+    ref = CascadeEngine(casc, (96, 72), 1.25, use_pallas_dense=False)
+    rboxes, rvalid, _ = (np.asarray(x) for x in ref.detect_raw(img))
+    got = boxes[0][valid[0].astype(bool)]
+    want = rboxes[0][rvalid[0].astype(bool)]
+    assert len(want) > 0
+    assert np.array_equal(np.sort(got, axis=0), np.sort(want, axis=0))
+
+
 def test_dense_phase_kernel_tilted_cascade(rng):
     """Tilt-using cascade (lefteye_2splits: 186 tilted features) through the
     fused kernel — in-kernel skewed-prefix-sum RSAT + tilted corner reads
