@@ -264,18 +264,21 @@ class CnnPartDetectorConfig:
     one conv pass replaces the reference's face→eye/nose/mouth element
     chain)."""
 
-    # 0.7 balances the shipped checkpoint's holdout recall (>=0.95 every
-    # class) against precision (0.83-0.94); see models/cnn_parts.evaluate
-    threshold: float = 0.7
+    # None → the model's measured per-class operating points
+    # (models/cnn_parts.DEFAULT_THRESHOLDS); setThreshold overrides every
+    # class with one scalar, like the face CNN object's single knob
+    threshold: float | None = None
     view: int = 1
     activate_events: int = 0
     events_ms: int = 30001
 
 
 class NuboCnnPartDetector(_FilterObject):
-    """One-pass learned face+eye+nose+mouth detector as a remote object:
-    emits OnPart events with every part class in one payload
-    (models/cnn_parts.py; trained on exact synthetic part geometry)."""
+    """One-pass learned face+eye+nose+mouth+profile+ear detector as a
+    remote object: emits OnPart events with every part class in one
+    payload (models/cnn_parts.py; trained on exact synthetic part
+    geometry, scenes mirrored both ways so ears are found on either
+    side without the reference's flip-and-rerun pass)."""
 
     EVENT_NAME = "OnPart"
     INFO_NAME = "part"

@@ -80,6 +80,9 @@ def _make_model(ns, frame_size):
     if ns.filter == "tracker":
         from .models.tracker import Tracker
         return Tracker(frame_size)
+    if ns.filter == "parts":
+        from .models.cnn_parts import CnnPartDetector
+        return CnnPartDetector(frame_size)
     raise SystemExit(f"unknown filter {ns.filter}")
 
 
@@ -135,8 +138,8 @@ def main(argv=None):
         prog="nubomedia_vca_tpu",
         description=__doc__.splitlines()[0])
     ap.add_argument("filter", choices=(
-        "face", "eye", "mouth", "nose", "ear", "tracker", "cnn", "chain",
-        "warmup"))
+        "face", "eye", "mouth", "nose", "ear", "tracker", "cnn", "parts",
+        "chain", "warmup"))
     ap.add_argument("--input", default=None,
                     help="video URI / file / v4l2 index for cv2.VideoCapture")
     ap.add_argument("--synthetic", action="store_true",

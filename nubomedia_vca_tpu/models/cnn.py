@@ -49,11 +49,9 @@ def init_params(key, channels=(16, 32, 64, 128), head_dim=256) -> dict:
     return params
 
 
-def forward(params: dict, gray: jnp.ndarray) -> jnp.ndarray:
-    """gray [B, H, W] uint8 → [B, H/16, W/16, 5] (logit, dx, dy, logw, logh).
-
-    bfloat16 activations; convs/matmuls hit the MXU.
-    """
+def backbone(params: dict, gray: jnp.ndarray) -> jnp.ndarray:
+    """gray [B, H, W] uint8 → [B, H/16, W/16, C] feature grid (the four
+    stride-2 convs; ~31 px receptive field per cell)."""
     x = (gray.astype(jnp.bfloat16) / 128.0 - 1.0)[..., None]
     for i in range(4):
         w = params[f"conv{i}"]["w"].astype(jnp.bfloat16)
@@ -62,6 +60,11 @@ def forward(params: dict, gray: jnp.ndarray) -> jnp.ndarray:
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.bfloat16)
         x = jax.nn.relu(x + params[f"conv{i}"]["b"].astype(jnp.bfloat16))
+    return x
+
+
+def head(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """feature grid [B, gh, gw, C] → [B, gh, gw, out] (head1/head2)."""
     h = jnp.einsum("bhwc,cd->bhwd", x,
                    params["head1"]["w"].astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
@@ -70,6 +73,14 @@ def forward(params: dict, gray: jnp.ndarray) -> jnp.ndarray:
                      params["head2"]["w"].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
     return out + params["head2"]["b"]
+
+
+def forward(params: dict, gray: jnp.ndarray) -> jnp.ndarray:
+    """gray [B, H, W] uint8 → [B, H/16, W/16, 5] (logit, dx, dy, logw, logh).
+
+    bfloat16 activations; convs/matmuls hit the MXU.
+    """
+    return head(params, backbone(params, gray))
 
 
 def boxes_to_targets(boxes, valid, img_h, img_w):

@@ -2,10 +2,11 @@
 
 The learned multi-part detector (models/cnn_parts.py) collapses the
 reference's face→eye/nose/mouth chained-cascade flow (SURVEY.md §2.4.8,
-kmseyedetect.cpp:680-724) into one conv pass. These tests gate the SHIPPED
-checkpoint's per-class recall/precision on the exact synthetic geometry it
-was supervised on, and exercise the remote-object surface (OnPart events,
-state-preserving setThreshold).
+kmseyedetect.cpp:680-724) AND the ear module's profile-cascade +
+flip-and-rerun pass (kmseardetect.cpp:644-726) into one conv pass. These
+tests gate the SHIPPED checkpoint's per-class recall/precision on the
+exact synthetic geometry it was supervised on, and exercise the
+remote-object surface (OnPart events, state-preserving setThreshold).
 """
 
 import numpy as np
@@ -13,9 +14,11 @@ import pytest
 
 from nubomedia_vca_tpu.models import cnn, cnn_parts
 
-# measured on the shipped checkpoint at threshold 0.7 (TPU):
-#   face 0.956/0.935, eye 0.967/0.879, nose 0.978/0.917, mouth 0.978/0.830
-# gates leave margin for CPU-vs-TPU numeric drift in the bf16 conv path
+# measured on the shipped v2 checkpoint at the per-class operating points
+# (models/cnn_parts.DEFAULT_THRESHOLDS; CPU, 96 scenes):
+#   face 0.99/0.86, eye 0.95/0.84, nose 1.00/0.90, mouth 0.96/0.89,
+#   profile 0.94/0.82, ear 0.98/0.78
+# gates leave margin for backend numeric drift in the bf16 conv path
 RECALL_GATE = 0.90
 PRECISION_GATE = 0.72
 
@@ -25,7 +28,7 @@ def test_checkpoint_exists():
 
 
 def test_per_class_recall_precision():
-    stats = cnn_parts.evaluate(n_scenes=48, seed=123)
+    stats = cnn_parts.evaluate(n_scenes=96, seed=123)
     for k, (tp, fn, fp) in stats.items():
         recall = tp / max(tp + fn, 1)
         precision = tp / max(tp + fp, 1)
@@ -34,32 +37,55 @@ def test_per_class_recall_precision():
 
 
 def _scene_with_face():
-    from nubomedia_vca_tpu.models.synth import draw_face, _noise_bg
+    """One frontal face + one left-facing profile head: every class in
+    CLASSES has at least one instance."""
+    from nubomedia_vca_tpu.models.synth import (
+        draw_face, draw_profile_face, _noise_bg)
 
     rng = np.random.RandomState(7)
     img = _noise_bg(rng, cnn_parts.W, cnn_parts.H)
-    geo = draw_face(img, 160, 120, 55)
-    return img, geo
+    geo = draw_face(img, 110, 120, 55)
+    geo_p = draw_profile_face(img, 250, 120, 45)
+    return img, geo, geo_p
 
 
 def test_detector_finds_all_classes():
-    img, geo = _scene_with_face()
+    img, geo, geo_p = _scene_with_face()
     det = cnn_parts.CnnPartDetector((cnn_parts.W, cnn_parts.H))
     res = det.process(img)[0]
     for k in cnn_parts.CLASSES:
         assert len(res[k]) >= 1, (k, res)
-    # face box roughly where drawn
+    # face and profile boxes roughly where drawn
     fx, fy, fw, fh = res["face"][0]
     gx, gy, gw, gh = geo["face"]
     assert abs(fx + fw / 2 - (gx + gw / 2)) < 25
     assert abs(fy + fh / 2 - (gy + gh / 2)) < 25
+    px, py, pw, ph = res["profile"][0]
+    hx, hy, hw, hh = geo_p["head"]
+    assert abs(px + pw / 2 - (hx + hw / 2)) < 25
+    assert abs(py + ph / 2 - (hy + hh / 2)) < 25
+
+
+def test_detector_finds_mirrored_profile():
+    """Right-facing heads (the reference needs a flip-and-rerun pass,
+    kmseardetect.cpp:796-803) are first-class for the learned detector:
+    the mirrored scene must still yield profile + ear boxes, mirrored."""
+    img, _, geo_p = _scene_with_face()
+    det = cnn_parts.CnnPartDetector((cnn_parts.W, cnn_parts.H))
+    res = det.process(np.ascontiguousarray(img[:, ::-1]))[0]
+    assert res["profile"] and res["ear"], res
+    hx, hy, hw, hh = geo_p["head"]
+    mx = cnn_parts.W - hx - hw            # mirrored head x
+    px, py, pw, ph = res["profile"][0]
+    assert abs(px + pw / 2 - (mx + hw / 2)) < 25
+    assert abs(py + ph / 2 - (hy + hh / 2)) < 25
 
 
 def test_remote_object_events_and_live_threshold():
     from nubomedia_vca_tpu.api.objects import MediaPipeline, \
         NuboCnnPartDetector
 
-    img, _ = _scene_with_face()
+    img, _, _ = _scene_with_face()
     pipe = MediaPipeline(frame_size=(cnn_parts.W, cnn_parts.H))
     el = NuboCnnPartDetector(pipe)
     el.activateServerEvents(1, 0)
@@ -76,6 +102,22 @@ def test_remote_object_events_and_live_threshold():
     el.process(img)
     assert el._model.params is params_before
     assert el._model.threshold == 0.95
+
+
+def test_per_class_threshold_override():
+    """threshold=None → measured per-class operating points; a dict merges
+    over them; a scalar (the remote object's setThreshold) overrides all."""
+    det = cnn_parts.CnnPartDetector((cnn_parts.W, cnn_parts.H))
+    assert det.thresholds == tuple(
+        cnn_parts.DEFAULT_THRESHOLDS[k] for k in cnn_parts.CLASSES)
+    det2 = cnn_parts.CnnPartDetector(
+        (cnn_parts.W, cnn_parts.H), params=det.params,
+        threshold={"eye": 0.99})
+    assert det2.thresholds[cnn_parts.CLASSES.index("eye")] == 0.99
+    assert det2.thresholds[0] == cnn_parts.DEFAULT_THRESHOLDS["face"]
+    det3 = cnn_parts.CnnPartDetector(
+        (cnn_parts.W, cnn_parts.H), params=det.params, threshold=0.8)
+    assert det3.thresholds == (0.8,) * cnn_parts.C
 
 
 def test_idl_and_rpc_include_part_module():

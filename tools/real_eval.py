@@ -125,6 +125,30 @@ def evaluate(images, multi_scale=False, quantized=False, threshold=0.5,
     return recall, precision, tp, fn, fp
 
 
+def evaluate_parts(images, threshold=None):
+    """Per-class false-positive counts of the one-pass multi-part detector
+    (models/cnn_parts.py) on face-free real photographs — the parts-family
+    analog of the face FP measurement (no recall half without real faces)."""
+    from nubomedia_vca_tpu.models.cnn_parts import CLASSES, CnnPartDetector
+
+    dets = {}
+    totals = {k: 0 for k in CLASSES}
+    for name, img in images:
+        gray = _load_gray(img)
+        h, w = gray.shape
+        if (w, h) not in dets:
+            dets[(w, h)] = CnnPartDetector((w, h), threshold=threshold)
+        res = dets[(w, h)].process(gray)[0]
+        row = {k: len(res[k]) for k in CLASSES}
+        for k in CLASSES:
+            totals[k] += row[k]
+        print(f"{os.path.basename(str(name))}: " + " ".join(
+            f"{k}={row[k]}" for k in CLASSES), flush=True)
+    print("\naggregate FPs (face-free images): " + " ".join(
+        f"{k}={totals[k]}" for k in CLASSES), flush=True)
+    return totals
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--images", default=None,
@@ -134,7 +158,12 @@ def main(argv=None):
                          " measures false positives on real textures)")
     ap.add_argument("--multi-scale", action="store_true")
     ap.add_argument("--quantized", action="store_true")
-    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--parts", action="store_true",
+                    help="evaluate the one-pass multi-part detector's "
+                         "per-class FP counts instead of the face model")
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="objectness threshold (default 0.5 face / the "
+                         "per-class operating points for --parts)")
     ap.add_argument("--tpu", action="store_true")
     ns = ap.parse_args(argv)
     if not ns.tpu:
@@ -151,7 +180,10 @@ def main(argv=None):
         images = _builtin_images()
     else:
         ap.error("--images or --builtin required")
-    evaluate(images, ns.multi_scale, ns.quantized, ns.threshold)
+    if ns.parts:
+        evaluate_parts(images, threshold=ns.threshold)
+    else:
+        evaluate(images, ns.multi_scale, ns.quantized, ns.threshold or 0.5)
     return 0
 
 
