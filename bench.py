@@ -166,10 +166,25 @@ def _cascade_bytes(engine, work_w, work_h, src_w=None):
     c = engine.cascade
     patch_b = c.window_w * c.window_h
     total = (2 * work_h * src_w + work_w * work_h) if src_w else 0
-    for lvl, caps in zip(engine.levels, engine._level_caps):
+    pyr = set(engine._pyramid_level_indices())
+    if pyr:
+        # all-levels pyramid kernel: the work image is read from HBM ONCE
+        # for every covered level (resize weights are VMEM-resident across
+        # the batch grid, ~0 bytes/frame amortized)
+        total += work_w * work_h
+    for li, (lvl, caps) in enumerate(zip(engine.levels, engine._level_caps)):
         img_b = lvl.sw * lvl.sh
         tab_b = 4 * (lvl.sw + 1) * (lvl.sh + 1)
         fused = engine._use_pallas_dense and engine._pallas_dense_fits(lvl)
+        if li in pyr:
+            # in-kernel resize from VMEM; level image WRITTEN only (read
+            # back solely by the sparse survivor gather; the unscaled
+            # level gathers from the already-counted work image)
+            scaled = (lvl.sh, lvl.sw) != (engine.image_h, engine.image_w)
+            tab = (img_b if scaled else 0) \
+                + (min(caps[0] * patch_b, img_b) if caps else 0)
+            total += tab + 2 * 5 * lvl.n_windows
+            continue
         if fused and not engine._uses_tilt:
             tab = min(caps[0] * patch_b, img_b) if caps else 0
         elif fused:

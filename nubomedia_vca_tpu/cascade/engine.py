@@ -110,6 +110,7 @@ class CascadeEngine:
         max_capacity: int = 32768,
         use_pallas_integral: bool | None = None,
         use_pallas_dense: bool | None = None,
+        use_pallas_pyramid: bool | None = None,
     ):
         """block_plan: list of (n_stages, capacity_frac) for matmul blocks;
         the last entry's n_stages may exceed what remains (clamped). The
@@ -155,6 +156,13 @@ class CascadeEngine:
             # patch gather), gated at a smaller level size.
             use_pallas_dense = jax.default_backend() == "tpu"
         self._use_pallas_dense = use_pallas_dense
+        if use_pallas_pyramid is None:
+            # all-levels fused pyramid kernel (resize+integral+dense for
+            # every single-block level, work image read from HBM once);
+            # non-tilted cascades only — see build_pyramid_dense_phase
+            use_pallas_pyramid = self._use_pallas_dense
+        self._use_pallas_pyramid = use_pallas_pyramid
+        self._pyramid_kernel = None
         self._dense_kernels: dict = {}
         self._detect_jit = jax.jit(self._detect_impl)
         # fine scale factors produce very deep pyramids whose whole-program
@@ -380,14 +388,48 @@ class CascadeEngine:
         return jnp.all(ssums >= blk.stage_thr, axis=-1)
 
     # ---------------------------------------------------------------- detect
+    def _pyramid_level_indices(self) -> tuple[int, ...]:
+        """Levels covered by the all-levels fused pyramid kernel (whole-
+        program mode only): every single-block non-tilted level, bounded by
+        a total-elements budget (Mosaic allocates the kernel's live set on
+        the VMEM stack; the per-level sections are sequential but the
+        allocator is not guaranteed to fully reuse them)."""
+        if (not self._use_pallas_pyramid or self._uses_tilt
+                or self._force_per_level):
+            return ()
+        lis, total = [], 0
+        for li, l in enumerate(self.levels):
+            elems = (l.sh + 1) * (l.sw + 1)
+            if (elems <= self.PALLAS_DENSE_MAX_ELEMS
+                    and total + elems <= self.PALLAS_PYRAMID_MAX_SUM_ELEMS):
+                lis.append(li)
+                total += elems
+        return tuple(lis)
+
     def _detect_impl(self, gray):
         """gray [B, H, W] uint8 → (boxes [B, TC, 4] i32, valid [B, TC] bool,
         overflow [B] bool)."""
         B = gray.shape[0]
+        pyr_lis = self._pyramid_level_indices()
+        pyr_outs = {}
+        if pyr_lis:
+            kern = self._pyramid_kernel
+            if kern is None:
+                from ..ops.pallas.dense_pallas import build_pyramid_dense_phase
+                kern = build_pyramid_dense_phase(self, pyr_lis)
+                self._pyramid_kernel = kern
+            pyr_outs = kern(gray)
         out_boxes, out_valid = [], []
         overflow = jnp.zeros((B,), bool)
         for li in range(len(self.levels)):
-            boxes, alive, ovf = self._eval_level(gray, li)
+            if li in pyr_outs:
+                img_l, vnf, alive = pyr_outs[li]
+                if img_l is None:        # unscaled level == the work image
+                    img_l = gray
+                boxes, alive, ovf = self._level_post(
+                    li, img_l, None, None, vnf, alive.astype(bool))
+            else:
+                boxes, alive, ovf = self._eval_level(gray, li)
             out_boxes.append(boxes)
             out_valid.append(alive)
             overflow = overflow | ovf
@@ -406,6 +448,10 @@ class CascadeEngine:
     # the patch gather, so they keep the single-block ceiling.
     PALLAS_DENSE_MAX_ELEMS = 48_000
     PALLAS_DENSE_MAX_ELEMS_TILT = 16_000
+    # total-elements budget of the all-levels pyramid kernel (Mosaic's VMEM
+    # stack allocation is not guaranteed to reuse the sequential per-level
+    # sections; the sf=1.25 face pyramid at width 160 totals ~39k)
+    PALLAS_PYRAMID_MAX_SUM_ELEMS = 64_000
 
     def _pallas_dense_fits(self, l) -> bool:
         if self._uses_tilt:
@@ -419,158 +465,167 @@ class CascadeEngine:
 
     def _eval_level(self, gray, li: int):
         """One pyramid level → (boxes [B,cap,4], alive [B,cap], ovf [B])."""
-        B = gray.shape[0]
         d = self._dense
-        for l, caps, (map_x, map_y) in [(self.levels[li],
-                                         self._level_caps[li],
-                                         self._maps[li])]:
-            overflow = jnp.zeros((B,), bool)
-            img = resize_linear_exact(gray, (l.sw, l.sh))
-            ny, nx, step = l.ny, l.nx, l.ystep
-            nwin = ny * nx
+        l = self.levels[li]
+        img = resize_linear_exact(gray, (l.sw, l.sh))
+        ny, nx, step = l.ny, l.nx, l.ystep
 
-            if self._use_pallas_dense and self._pallas_dense_fits(l):
-                # fused kernel: integral + sq-integral + norm + dense stages
-                # in one VMEM residency (iisq never reaches HBM); evaluation
-                # runs at full density in VMEM but only the ystep-strided
-                # [ny, nx] grid is emitted, so HBM map traffic drops 4x on
-                # step-2 levels (exactly the largest pyramid levels).
-                kern = self._dense_kernels.get((l.sh, l.sw, step))
-                if kern is None:
-                    from ..ops.pallas.dense_pallas import build_dense_phase
-                    kern = build_dense_phase(self, l.sh, l.sw, step)
-                    self._dense_kernels[(l.sh, l.sw, step)] = kern
-                ii, iit, vnf, alive = kern(img)
-                alive = alive.astype(bool)
+        if self._use_pallas_dense and self._pallas_dense_fits(l):
+            # fused kernel: integral + sq-integral + norm + dense stages
+            # in one VMEM residency (iisq never reaches HBM); evaluation
+            # runs at full density in VMEM but only the ystep-strided
+            # [ny, nx] grid is emitted, so HBM map traffic drops 4x on
+            # step-2 levels (exactly the largest pyramid levels).
+            kern = self._dense_kernels.get((l.sh, l.sw, step))
+            if kern is None:
+                from ..ops.pallas.dense_pallas import build_dense_phase
+                kern = build_dense_phase(self, l.sh, l.sw, step)
+                self._dense_kernels[(l.sh, l.sw, step)] = kern
+            ii, iit, vnf, alive = kern(img)
+            alive = alive.astype(bool)
+        else:
+            if self._use_pallas_integral:
+                # fused kernel: one VMEM pass produces both tables
+                from ..ops.pallas.integral_pallas import (
+                    integral_images_pallas)
+                ii, iisq = integral_images_pallas(img)
             else:
-                if self._use_pallas_integral:
-                    # fused kernel: one VMEM pass produces both tables
-                    from ..ops.pallas.integral_pallas import (
-                        integral_images_pallas)
-                    ii, iisq = integral_images_pallas(img)
-                else:
-                    ii = integral_image(img)
-                    iisq = sq_integral_image(img)
-                iit = (tilted_integral_image(img) if self._uses_tilt
-                       else None)
+                ii = integral_image(img)
+                iisq = sq_integral_image(img)
+            iit = (tilted_integral_image(img) if self._uses_tilt
+                   else None)
 
-                # variance normalization, dense
-                valsum = self._dense_rect_sum(
-                    ii, self._norm_corners, ny, nx, step)
-                sqv = self._dense_rect_sum(
-                    iisq, self._norm_corners, ny, nx, step)
-                sq_u = jax.lax.bitcast_convert_type(sqv, jnp.uint32)
-                vf = valsum.astype(jnp.float32)
-                nf = self._norm_area * sq_u.astype(jnp.float32) - vf * vf
-                # OpenCV 4.x rejects windows whose pixel stddev is <= 10,
-                # i.e. nf <= 100*area^2 (empirically pinned against the
-                # golden tool: sigma == 10.00 fails, 10.03 passes).
-                win_valid = nf > 100.0 * self._norm_area * self._norm_area
-                vnf = jnp.where(win_valid,
-                                1.0 / jnp.sqrt(jnp.maximum(nf, 1e-20)), 1.0)
+            # variance normalization, dense
+            valsum = self._dense_rect_sum(
+                ii, self._norm_corners, ny, nx, step)
+            sqv = self._dense_rect_sum(
+                iisq, self._norm_corners, ny, nx, step)
+            sq_u = jax.lax.bitcast_convert_type(sqv, jnp.uint32)
+            vf = valsum.astype(jnp.float32)
+            nf = self._norm_area * sq_u.astype(jnp.float32) - vf * vf
+            # OpenCV 4.x rejects windows whose pixel stddev is <= 10,
+            # i.e. nf <= 100*area^2 (empirically pinned against the
+            # golden tool: sigma == 10.00 fails, 10.03 passes).
+            win_valid = nf > 100.0 * self._norm_area * self._norm_area
+            vnf = jnp.where(win_valid,
+                            1.0 / jnp.sqrt(jnp.maximum(nf, 1e-20)), 1.0)
 
-                # dense block
-                cache: dict[int, jnp.ndarray] = {}
-                alive = win_valid
-                widx, n_d = 0, len(d["feat0"])
-                for s_idx in range(self.n_dense_stages):
-                    ssum = jnp.zeros_like(vnf)
-                    while widx < n_d and d["stage"][widx] == s_idx:
-                        f0 = self._dense_feature(
-                            ii, iit, int(d["feat0"][widx]),
-                            ny, nx, step, cache) * vnf
-                        fL = self._dense_feature(
-                            ii, iit, int(d["featL"][widx]),
-                            ny, nx, step, cache) * vnf
-                        fR = self._dense_feature(
-                            ii, iit, int(d["featR"][widx]),
-                            ny, nx, step, cache) * vnf
-                        ssum = ssum + self._weak_tree(
-                            f0, fL, fR, d["thr0"][widx], d["thrL"][widx],
-                            d["thrR"][widx], d["leavesL"][widx],
-                            d["leavesR"][widx])
-                        widx += 1
-                    alive = alive & (ssum >= d["stage_thr"][s_idx])
+            # dense block
+            cache: dict[int, jnp.ndarray] = {}
+            alive = win_valid
+            widx, n_d = 0, len(d["feat0"])
+            for s_idx in range(self.n_dense_stages):
+                ssum = jnp.zeros_like(vnf)
+                while widx < n_d and d["stage"][widx] == s_idx:
+                    f0 = self._dense_feature(
+                        ii, iit, int(d["feat0"][widx]),
+                        ny, nx, step, cache) * vnf
+                    fL = self._dense_feature(
+                        ii, iit, int(d["featL"][widx]),
+                        ny, nx, step, cache) * vnf
+                    fR = self._dense_feature(
+                        ii, iit, int(d["featR"][widx]),
+                        ny, nx, step, cache) * vnf
+                    ssum = ssum + self._weak_tree(
+                        f0, fL, fR, d["thr0"][widx], d["thrL"][widx],
+                        d["thrR"][widx], d["leavesL"][widx],
+                        d["leavesR"][widx])
+                    widx += 1
+                alive = alive & (ssum >= d["stage_thr"][s_idx])
 
-            alive_flat = alive.reshape(B, nwin)
-            vnf_flat = vnf.reshape(B, nwin)
+        return self._level_post(li, img, ii, iit, vnf, alive)
 
-            if not self._blocks:
-                # tiny cascades: no matmul blocks — emit dense survivors
-                cap = min(nwin, self._max_capacity)
-                sel, sel_alive, count = self._compact(alive_flat, cap)
-                overflow = overflow | (count > cap)
-                win_ids = sel
+    def _level_post(self, li, img, ii, iit, vnf, alive):
+        """Strided dense-grid maps → level boxes: compaction, survivor
+        patch gather, matmul blocks. `img` is the level image (used for
+        the no-table gather when `ii` is None — including levels from the
+        all-levels pyramid kernel, where the unscaled level passes the
+        work image itself)."""
+        l, caps = self.levels[li], self._level_caps[li]
+        map_x, map_y = self._maps[li]
+        B = alive.shape[0]
+        ny, nx, step = l.ny, l.nx, l.ystep
+        nwin = ny * nx
+        overflow = jnp.zeros((B,), bool)
+        alive_flat = alive.reshape(B, nwin)
+        vnf_flat = vnf.reshape(B, nwin)
+
+        if not self._blocks:
+            # tiny cascades: no matmul blocks — emit dense survivors
+            cap = min(nwin, self._max_capacity)
+            sel, sel_alive, count = self._compact(alive_flat, cap)
+            overflow = overflow | (count > cap)
+            win_ids = sel
+        else:
+            # first compaction + one-time patch gather
+            cap0 = caps[0]
+            sel, sel_alive, count = self._compact(alive_flat, cap0)
+            overflow = overflow | (count > cap0)
+            win_ids = sel
+            iy, ix = sel // nx, sel % nx
+            y, x = iy * step, ix * step
+            k0 = sel.shape[1]
+            if ii is None:
+                # fused-kernel path, no table in HBM: gather uint8
+                # window pixels and rebuild the patch-local integral —
+                # entry-for-entry identical to the doubly-relative ii
+                # patch below (int32 wraparound; values < 2^24)
+                base = y * l.sw + x
+                poff = (self._img_patch_dy * l.sw
+                        + self._img_patch_dx)[None, None, :]
+                idx = base[:, :, None] + poff
+                pimg = jnp.take_along_axis(
+                    img.reshape(B, -1), idx.reshape(B, -1), axis=1
+                ).reshape(B, k0, self._ph - 1, self._pw - 1)
+                local = jnp.cumsum(
+                    jnp.cumsum(pimg.astype(jnp.int32), axis=-1),
+                    axis=-2)
+                patch = jnp.pad(local,
+                                ((0, 0), (0, 0), (1, 0), (1, 0)))
             else:
-                # first compaction + one-time patch gather
-                cap0 = caps[0]
-                sel, sel_alive, count = self._compact(alive_flat, cap0)
-                overflow = overflow | (count > cap0)
-                win_ids = sel
-                iy, ix = sel // nx, sel % nx
-                y, x = iy * step, ix * step
-                k0 = sel.shape[1]
-                if ii is None:
-                    # fused-kernel path, no table in HBM: gather uint8
-                    # window pixels and rebuild the patch-local integral —
-                    # entry-for-entry identical to the doubly-relative ii
-                    # patch below (int32 wraparound; values < 2^24)
-                    base = y * l.sw + x
-                    poff = (self._img_patch_dy * l.sw
-                            + self._img_patch_dx)[None, None, :]
-                    idx = base[:, :, None] + poff
-                    pimg = jnp.take_along_axis(
-                        img.reshape(B, -1), idx.reshape(B, -1), axis=1
-                    ).reshape(B, k0, self._ph - 1, self._pw - 1)
-                    local = jnp.cumsum(
-                        jnp.cumsum(pimg.astype(jnp.int32), axis=-1),
-                        axis=-2)
-                    patch = jnp.pad(local,
-                                    ((0, 0), (0, 0), (1, 0), (1, 0)))
-                else:
-                    sw1 = l.sw + 1
-                    base = y * sw1 + x
-                    poff = (self._patch_dy * sw1
-                            + self._patch_dx)[None, None, :]
-                    idx = base[:, :, None] + poff
+                sw1 = l.sw + 1
+                base = y * sw1 + x
+                poff = (self._patch_dy * sw1
+                        + self._patch_dx)[None, None, :]
+                idx = base[:, :, None] + poff
+                patch = jnp.take_along_axis(
+                    ii.reshape(B, -1), idx.reshape(B, -1), axis=1
+                ).reshape(B, k0, self._ph, self._pw)
+                patch = (patch - patch[:, :, :1, :]
+                         - patch[:, :, :, :1] + patch[:, :, :1, :1])
+            patch = patch.reshape(B, k0, -1).astype(jnp.float32)
+            if self._uses_tilt:
+                patch_t = jnp.take_along_axis(
+                    iit.reshape(B, -1), idx.reshape(B, -1), axis=1
+                ).reshape(B, k0, -1)
+                patch_t = (patch_t - patch_t[:, :, :1]).astype(jnp.float32)
+            else:
+                patch_t = None
+            vnf_sel = jnp.take_along_axis(vnf_flat, sel, axis=1)
+
+            for bi, blk in enumerate(self._blocks):
+                if bi > 0 and caps[bi] < sel_alive.shape[1]:
+                    # re-compact among current survivors
+                    sel2, sel_alive, count = self._compact(
+                        sel_alive, caps[bi])
+                    overflow = overflow | (count > caps[bi])
+                    win_ids = jnp.take_along_axis(win_ids, sel2, axis=1)
                     patch = jnp.take_along_axis(
-                        ii.reshape(B, -1), idx.reshape(B, -1), axis=1
-                    ).reshape(B, k0, self._ph, self._pw)
-                    patch = (patch - patch[:, :, :1, :]
-                             - patch[:, :, :, :1] + patch[:, :, :1, :1])
-                patch = patch.reshape(B, k0, -1).astype(jnp.float32)
-                if self._uses_tilt:
-                    patch_t = jnp.take_along_axis(
-                        iit.reshape(B, -1), idx.reshape(B, -1), axis=1
-                    ).reshape(B, k0, -1)
-                    patch_t = (patch_t - patch_t[:, :, :1]).astype(jnp.float32)
-                else:
-                    patch_t = None
-                vnf_sel = jnp.take_along_axis(vnf_flat, sel, axis=1)
+                        patch, sel2[:, :, None], axis=1)
+                    if patch_t is not None:
+                        patch_t = jnp.take_along_axis(
+                            patch_t, sel2[:, :, None], axis=1)
+                    vnf_sel = jnp.take_along_axis(vnf_sel, sel2, axis=1)
+                passed = self._block_eval(blk, patch, patch_t, vnf_sel)
+                sel_alive = sel_alive & passed
 
-                for bi, blk in enumerate(self._blocks):
-                    if bi > 0 and caps[bi] < sel_alive.shape[1]:
-                        # re-compact among current survivors
-                        sel2, sel_alive, count = self._compact(
-                            sel_alive, caps[bi])
-                        overflow = overflow | (count > caps[bi])
-                        win_ids = jnp.take_along_axis(win_ids, sel2, axis=1)
-                        patch = jnp.take_along_axis(
-                            patch, sel2[:, :, None], axis=1)
-                        if patch_t is not None:
-                            patch_t = jnp.take_along_axis(
-                                patch_t, sel2[:, :, None], axis=1)
-                        vnf_sel = jnp.take_along_axis(vnf_sel, sel2, axis=1)
-                    passed = self._block_eval(blk, patch, patch_t, vnf_sel)
-                    sel_alive = sel_alive & passed
-
-            iy, ix = win_ids // nx, win_ids % nx
-            bx = jnp.asarray(map_x)[ix]
-            by = jnp.asarray(map_y)[iy]
-            boxes = jnp.stack(
-                [bx, by, jnp.full_like(bx, l.out_w), jnp.full_like(bx, l.out_h)],
-                axis=-1)
-            return boxes, sel_alive, overflow
+        iy, ix = win_ids // nx, win_ids % nx
+        bx = jnp.asarray(map_x)[ix]
+        by = jnp.asarray(map_y)[iy]
+        boxes = jnp.stack(
+            [bx, by, jnp.full_like(bx, l.out_w), jnp.full_like(bx, l.out_h)],
+            axis=-1)
+        return boxes, sel_alive, overflow
 
     # ------------------------------------------------------------------- API
     def _detect_per_level(self, gray):
@@ -599,6 +654,8 @@ class CascadeEngine:
                     raise
                 self._use_pallas_dense = False
                 self._use_pallas_integral = False
+                self._use_pallas_pyramid = False
+                self._pyramid_kernel = None
                 self._dense_kernels.clear()
                 self._level_jits = {
                     k: v for k, v in self._level_jits.items() if k < li}
@@ -658,6 +715,16 @@ class CascadeEngine:
         try:
             return self._detect_jit(gray)
         except Exception:  # noqa: BLE001 — backend compile failure
+            if self._use_pallas_pyramid and self._pyramid_level_indices():
+                # first recovery tier: retry the whole-pyramid program
+                # without the all-levels kernel (per-level kernels intact)
+                self._use_pallas_pyramid = False
+                self._pyramid_kernel = None
+                self._detect_jit = jax.jit(self._detect_impl)
+                try:
+                    return self._detect_jit(gray)
+                except Exception:  # noqa: BLE001
+                    pass
             self._force_per_level = True
             return self._detect_per_level(gray)
 

@@ -144,33 +144,14 @@ def dense_strip_plan(sh: int, sw: int, h0: int, max_elems: int,
     return strip_gy, n, strip_rows, n * strip_gy + h0 - 1
 
 
-def build_dense_phase(engine, sh: int, sw: int, step: int = 1):
-    """One fused kernel for a `sh×sw` level of `engine`'s cascade.
+def _make_eval_dense(engine, gx: int, step: int):
+    """Shared in-kernel dense-phase evaluator for one level geometry.
 
-    Returns fn: img [B, sh, sw] uint8 →
-        (ii [B, sh+1, sw+1] i32 | None, iit [B, sh+1, sw+1] i32 | None,
-         vnf [B, ny, nx] f32, alive [B, ny, nx] i8)
-    with ny×nx the level's ystep-strided window grid (`step` = l.ystep):
-    evaluation runs at full density in VMEM (strided vector slices don't
-    lower in Mosaic) but only the strided grid is emitted — via exact
-    one-hot-matmul selection — so HBM map traffic drops 4x on step-2
-    levels and matches the engine's XLA-phase grid exactly.
-
-    For non-tilted cascades NO integral table leaves the kernel (ii is
-    None): the engine gathers survivor patches straight from the uint8
-    level image and rebuilds the patch-local integral (bit-identical to
-    the doubly-relative ii patch — see engine.__init__), so the only HBM
-    outputs are the tiny vnf/alive maps. Tilted cascades emit ii+iit for
-    the global-table patch gather (the tilted doubly-relative form is not
-    local-table-reconstructible bit-exactly, and OpenCV-order f32
-    accumulation must be preserved).
-    """
-    c = engine.cascade
-    w0, h0 = c.window_w, c.window_h
-    gy, gx = sh - h0 + 1, sw - w0 + 1
-    if gy <= 0 or gx <= 0:
-        raise ValueError("level smaller than cascade window")
-    nyg, nxg = -(-gy // step), -(-gx // step)   # global strided grid
+    Returns eval_dense(x [rows, sw] int32, gy_k) → (ii, iit, vnf, alive)
+    over a gy_k×gx window grid, emitting the ystep-strided maps. Closed
+    over the engine's host tables; used by both the per-level kernels
+    (build_dense_phase) and the all-levels pyramid kernel
+    (build_pyramid_dense_phase)."""
     d = engine._dense
     feat_rects = engine._feat_rects
     norm_corners = engine._norm_corners
@@ -233,6 +214,39 @@ def build_dense_phase(engine, sh: int, sw: int, step: int = 1):
         vnf_s = _stride_select(vnf, step)
         alive_s = _stride_select(alive.astype(jnp.float32), step) > 0.5
         return ii, iit, vnf_s, alive_s.astype(jnp.int8)
+
+    return eval_dense
+
+
+def build_dense_phase(engine, sh: int, sw: int, step: int = 1):
+    """One fused kernel for a `sh×sw` level of `engine`'s cascade.
+
+    Returns fn: img [B, sh, sw] uint8 →
+        (ii [B, sh+1, sw+1] i32 | None, iit [B, sh+1, sw+1] i32 | None,
+         vnf [B, ny, nx] f32, alive [B, ny, nx] i8)
+    with ny×nx the level's ystep-strided window grid (`step` = l.ystep):
+    evaluation runs at full density in VMEM (strided vector slices don't
+    lower in Mosaic) but only the strided grid is emitted — via exact
+    one-hot-matmul selection — so HBM map traffic drops 4x on step-2
+    levels and matches the engine's XLA-phase grid exactly.
+
+    For non-tilted cascades NO integral table leaves the kernel (ii is
+    None): the engine gathers survivor patches straight from the uint8
+    level image and rebuilds the patch-local integral (bit-identical to
+    the doubly-relative ii patch — see engine.__init__), so the only HBM
+    outputs are the tiny vnf/alive maps. Tilted cascades emit ii+iit for
+    the global-table patch gather (the tilted doubly-relative form is not
+    local-table-reconstructible bit-exactly, and OpenCV-order f32
+    accumulation must be preserved).
+    """
+    c = engine.cascade
+    w0, h0 = c.window_w, c.window_h
+    gy, gx = sh - h0 + 1, sw - w0 + 1
+    if gy <= 0 or gx <= 0:
+        raise ValueError("level smaller than cascade window")
+    nyg, nxg = -(-gy // step), -(-gx // step)   # global strided grid
+    uses_tilt = bool(engine._uses_tilt)
+    eval_dense = _make_eval_dense(engine, gx, step)
 
     if uses_tilt:
         def kernel(img_ref, ii_ref, iit_ref, vnf_ref, alive_ref):
@@ -331,3 +345,136 @@ def build_dense_phase(engine, sh: int, sw: int, step: int = 1):
         return ii, iit, vnf, alive
 
     return dense_phase
+
+
+# ------------------------------------------------- all-levels pyramid kernel
+def _resize_matrix(src: int, dst: int):
+    """Host: combined 2-tap Q8 coefficient matrix M [src, dst] f32 such
+    that (x @ M) reproduces one axis pass of ops/resize.resize_linear_exact
+    bit-exactly (the two taps' coefficients land on their source rows;
+    coincident border taps accumulate). Exactness: pixel ≤ 255 and
+    coefficient ≤ 256 make every product ≤ 65280 and every partial sum of
+    the two-tap combination < 2^24, so f32 HIGHEST-precision matmul is
+    exact integer arithmetic."""
+    import numpy as np
+
+    from ..resize import _linear_exact_tables
+
+    s0, s1, c0, c1 = _linear_exact_tables(src, dst)
+    m = np.zeros((src, dst), np.float32)
+    for j in range(dst):
+        m[s0[j], j] += c0[j]
+        m[s1[j], j] += c1[j]
+    return m
+
+
+def build_pyramid_dense_phase(engine, lis: tuple[int, ...]):
+    """ONE fused kernel running the dense phase of MULTIPLE pyramid levels
+    per frame — the work image crosses HBM once for the whole pyramid.
+
+    Per level the kernel: (1) computes the level image IN VMEM, bit-exact
+    with cv::resize INTER_LINEAR_EXACT, as two one-hot-weighted MXU
+    matmuls (horizontal Q8 then vertical Q16; the Q16 maximum
+    255·65536 = 16 711 680 < 2^24 keeps HIGHEST-precision f32 exact —
+    see _resize_matrix); (2) runs the shared integral+norm+dense-stage
+    evaluation (_make_eval_dense); (3) emits the level image (uint8, for
+    the engine's survivor patch gather; skipped when the level is the
+    unscaled work image) and the ystep-strided vnf/alive maps.
+
+    vs the per-level kernels this removes the per-level work-image
+    re-reads (2 source rows per output row × n_levels — the largest HBM
+    term after the 720p ingest downsample) and the level-image HBM
+    read-back: the level image is written once and read only by the
+    sparse survivor gather. The resize weight matrices enter through
+    constant-index BlockSpecs, so Mosaic keeps them VMEM-resident across
+    the batch grid (amortized to ~0 bytes/frame).
+
+    Non-tilted cascades only (tilted levels must emit full ii/iit tables,
+    forfeiting most of the saving). Returns fn: img [B, H, W] uint8 →
+    dict li → (img_l [B,sh,sw] u8 | None when unscaled, vnf [B,ny,nx] f32,
+    alive [B,ny,nx] i8)."""
+    if engine._uses_tilt:
+        raise ValueError("pyramid kernel supports non-tilted cascades only")
+    H, W = engine.image_h, engine.image_w
+    c = engine.cascade
+    w0, h0 = c.window_w, c.window_h
+    specs, weights = [], []
+    for li in lis:
+        l = engine.levels[li]
+        gy, gx = l.sh - h0 + 1, l.sw - w0 + 1
+        if gy <= 0 or gx <= 0:
+            raise ValueError("level smaller than cascade window")
+        same = (l.sh, l.sw) == (H, W)
+        if not same:
+            weights.append(_resize_matrix(W, l.sw))            # [W, sw]
+            weights.append(_resize_matrix(H, l.sh).T.copy())   # [sh, H]
+        specs.append((li, l, gy, gx, same,
+                      _make_eval_dense(engine, gx, l.ystep)))
+
+    n_w = len(weights)
+    hi_p = jax.lax.Precision.HIGHEST
+
+    def kernel(img_ref, *refs):
+        w_refs, out_refs = refs[:n_w], refs[n_w:]
+        src = img_ref[0].astype(jnp.int32)
+        srcf = src.astype(jnp.float32)
+        wi = oi = 0
+        for (_, l, gy, gx, same, eval_dense) in specs:
+            if same:
+                x = src
+            else:
+                cx = w_refs[wi][...]
+                ry = w_refs[wi + 1][...]
+                wi += 2
+                hq8 = jax.lax.dot_general(srcf, cx, (((1,), (0,)), ((), ())),
+                                          precision=hi_p)
+                vq16 = jax.lax.dot_general(ry, hq8, (((1,), (0,)), ((), ())),
+                                           precision=hi_p)
+                x = jnp.clip((vq16.astype(jnp.int32) + (1 << 15)) >> 16,
+                             0, 255)
+                out_refs[oi][0] = x.astype(jnp.uint8)
+                oi += 1
+            _, _, vnf, alive = eval_dense(x, gy)
+            out_refs[oi][0] = vnf
+            out_refs[oi + 1][0] = alive
+            oi += 2
+
+    @functools.partial(jax.jit, static_argnames=("interpret",))
+    def pyramid_phase(img, interpret: bool | None = None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        B = img.shape[0]
+        out_shape = []
+        for (_, l, gy, gx, same, _) in specs:
+            ny, nx = -(-gy // l.ystep), -(-gx // l.ystep)
+            if not same:
+                out_shape.append(
+                    jax.ShapeDtypeStruct((B, l.sh, l.sw), jnp.uint8))
+            out_shape.append(jax.ShapeDtypeStruct((B, ny, nx), jnp.float32))
+            out_shape.append(jax.ShapeDtypeStruct((B, ny, nx), jnp.int8))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+                     + [pl.BlockSpec(w.shape, lambda b: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for w in weights],
+            out_specs=tuple(
+                pl.BlockSpec((1,) + s.shape[1:], lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for s in out_shape),
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+        )(img, *(jnp.asarray(w) for w in weights))
+        result, oi = {}, 0
+        for (li, l, gy, gx, same, _) in specs:
+            img_l = None
+            if not same:
+                img_l = outs[oi]
+                oi += 1
+            result[li] = (img_l, outs[oi], outs[oi + 1])
+            oi += 2
+        return result
+
+    return pyramid_phase

@@ -146,6 +146,7 @@ def test_pallas_failure_falls_back_to_xla_phase(rng, monkeypatch):
         raise RuntimeError("simulated Mosaic lowering failure")
 
     monkeypatch.setattr(dense_pallas, "build_dense_phase", boom)
+    monkeypatch.setattr(dense_pallas, "build_pyramid_dense_phase", boom)
     eng = CascadeEngine(casc, (96, 72), 1.25, use_pallas_dense=True)
     boxes, valid, _ = (np.asarray(x) for x in eng.detect_raw(img))
     assert not eng._use_pallas_dense          # kernels dropped engine-wide
@@ -298,3 +299,68 @@ def test_dense_phase_kernel_tilted_intermediates(rng):
     alive = np.asarray(alive)
     assert alive.any(), "noise should keep some dense-phase survivors"
     assert np.array_equal(np.asarray(alive_k).astype(bool), alive)
+
+
+def test_resize_matrix_bit_exact(rng):
+    """The pyramid kernel's in-VMEM resize (two one-hot-weighted matmuls,
+    Q8 horizontal then Q16 vertical) must be BIT-exact with
+    resize_linear_exact (itself golden-verified vs cv::resize
+    INTER_LINEAR_EXACT) — every product and partial sum stays < 2^24, so
+    HIGHEST-precision f32 is exact integer arithmetic."""
+    import jax
+    from nubomedia_vca_tpu.ops.pallas.dense_pallas import _resize_matrix
+    from nubomedia_vca_tpu.ops.resize import resize_linear_exact
+
+    hi = jax.lax.Precision.HIGHEST
+    # bench headline levels (160x90 / sf=1.25) plus odd geometries
+    cases = [((90, 160), (72, 128)), ((90, 160), (57, 102)),
+             ((90, 160), (24, 42)), ((72, 96), (37, 49)),
+             ((33, 47), (9, 13))]
+    for (sh_, sw_), (dh, dw) in cases:
+        src = rng.randint(0, 256, (sh_, sw_)).astype(np.uint8)
+        cx = jnp.asarray(_resize_matrix(sw_, dw))
+        ry = jnp.asarray(_resize_matrix(sh_, dh).T.copy())
+        srcf = jnp.asarray(src).astype(jnp.float32)
+        h = jax.lax.dot_general(srcf, cx, (((1,), (0,)), ((), ())),
+                                precision=hi)
+        v = jax.lax.dot_general(ry, h, (((1,), (0,)), ((), ())),
+                                precision=hi)
+        got = np.asarray(
+            jnp.clip((v.astype(jnp.int32) + (1 << 15)) >> 16, 0, 255)
+        ).astype(np.uint8)
+        want = np.asarray(resize_linear_exact(jnp.asarray(src)[None],
+                                              (dw, dh)))[0]
+        assert np.array_equal(got, want), ((sh_, sw_), (dh, dw))
+
+
+def test_pyramid_kernel_matches_xla_engine(rng):
+    """The ALL-LEVELS fused pyramid kernel (in-kernel resize + dense phase,
+    work image read once) produces the identical accepted-window set as
+    the engine without it, across every pyramid level, non-vacuously."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import face_scene
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+    from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
+
+    casc = load_cascade_xml(
+        "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml")
+    frames = np.stack([
+        face_scene(96, 72, faces=((48, 36, 28),), noise=8, seed=s)
+        for s in range(2)
+    ])
+    gray = jnp.asarray(frames)
+    eng_ref = CascadeEngine(casc, (96, 72), 1.25, use_pallas_dense=False,
+                            use_pallas_pyramid=False)
+    eng_pyr = CascadeEngine(casc, (96, 72), 1.25, use_pallas_dense=True,
+                            use_pallas_pyramid=True)
+    lis = eng_pyr._pyramid_level_indices()
+    assert len(lis) == len(eng_pyr.levels)       # every level in-kernel
+    # non-vacuous strided emission + an unscaled level gathering from gray
+    assert any(eng_pyr.levels[li].ystep == 2 for li in lis)
+    assert (eng_pyr.levels[0].sh, eng_pyr.levels[0].sw) == (72, 96)
+    total = 0
+    for a, b in zip(eng_ref.candidates(gray), eng_pyr.candidates(gray)):
+        assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
+        total += len(a)
+    assert total > 0
