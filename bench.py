@@ -166,12 +166,12 @@ def _cascade_bytes(engine, work_w, work_h, src_w=None):
     c = engine.cascade
     patch_b = c.window_w * c.window_h
     total = (2 * work_h * src_w + work_w * work_h) if src_w else 0
-    pyr = set(engine._pyramid_level_indices())
-    if pyr:
-        # all-levels pyramid kernel: the work image is read from HBM ONCE
-        # for every covered level (resize weights are VMEM-resident across
-        # the batch grid, ~0 bytes/frame amortized)
-        total += work_w * work_h
+    chunks = engine._pyramid_chunks()
+    pyr = {li for ch in chunks for li in ch}
+    # fused pyramid kernels: the work image is read from HBM once PER
+    # CHUNK (resize weights are VMEM-resident across the batch grid,
+    # ~0 bytes/frame amortized)
+    total += work_w * work_h * len(chunks)
     for li, (lvl, caps) in enumerate(zip(engine.levels, engine._level_caps)):
         img_b = lvl.sw * lvl.sh
         tab_b = 4 * (lvl.sw + 1) * (lvl.sh + 1)

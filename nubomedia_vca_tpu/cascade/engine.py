@@ -162,7 +162,7 @@ class CascadeEngine:
             # non-tilted cascades only — see build_pyramid_dense_phase
             use_pallas_pyramid = self._use_pallas_dense
         self._use_pallas_pyramid = use_pallas_pyramid
-        self._pyramid_kernel = None
+        self._pyramid_kernels: dict = {}
         self._dense_kernels: dict = {}
         self._detect_jit = jax.jit(self._detect_impl)
         # fine scale factors produce very deep pyramids whose whole-program
@@ -388,51 +388,88 @@ class CascadeEngine:
         return jnp.all(ssums >= blk.stage_thr, axis=-1)
 
     # ---------------------------------------------------------------- detect
-    def _pyramid_level_indices(self) -> tuple[int, ...]:
-        """Levels covered by the all-levels fused pyramid kernel (whole-
-        program mode only): every single-block non-tilted level, bounded by
-        a total-elements budget (Mosaic allocates the kernel's live set on
+    def _pyramid_chunks(self) -> tuple[tuple[int, ...], ...]:
+        """Chunks of consecutive levels covered by the fused pyramid kernel
+        (one kernel per chunk, source image read once per chunk). A level
+        must fit a single VMEM block; chunks are bounded by a
+        total-elements budget (Mosaic allocates the kernel's live set on
         the VMEM stack; the per-level sections are sequential but the
-        allocator is not guaranteed to fully reuse them)."""
-        if (not self._use_pallas_pyramid or self._uses_tilt
-                or self._force_per_level):
+        allocator is not guaranteed to fully reuse them). A chunk is kept
+        only when it beats the XLA path's bytes — deep-pyramid tail levels
+        are small enough that re-reading 2 source rows per output row per
+        level costs less than one full source read."""
+        if not self._use_pallas_pyramid or self._uses_tilt:
             return ()
-        lis, total = [], 0
+        W, H = self.image_w, self.image_h
+        chunks: list[tuple[int, ...]] = []
+        cur: list[int] = []
+        total = 0
+
+        def flush():
+            nonlocal cur, total
+            if cur:
+                xla_bytes = sum(2 * self.levels[li].sh * W
+                                + self.levels[li].sw * self.levels[li].sh
+                                for li in cur)
+                if xla_bytes > W * H:
+                    chunks.append(tuple(cur))
+            cur, total = [], 0
+
         for li, l in enumerate(self.levels):
             elems = (l.sh + 1) * (l.sw + 1)
-            if (elems <= self.PALLAS_DENSE_MAX_ELEMS
-                    and total + elems <= self.PALLAS_PYRAMID_MAX_SUM_ELEMS):
-                lis.append(li)
-                total += elems
-        return tuple(lis)
+            if elems > self.PALLAS_DENSE_MAX_ELEMS:
+                flush()
+                continue
+            if total + elems > self.PALLAS_PYRAMID_MAX_SUM_ELEMS:
+                flush()
+            cur.append(li)
+            total += elems
+        flush()
+        return tuple(chunks)
+
+    def _pyramid_level_indices(self) -> tuple[int, ...]:
+        """All pyramid-kernel-covered levels (flattened chunks)."""
+        return tuple(li for chunk in self._pyramid_chunks() for li in chunk)
+
+    def _eval_chunk(self, gray, chunk: tuple[int, ...]):
+        """Run one pyramid-kernel chunk → [(boxes, alive, ovf)] per level."""
+        kern = self._pyramid_kernels.get(chunk)
+        if kern is None:
+            from ..ops.pallas.dense_pallas import build_pyramid_dense_phase
+            kern = build_pyramid_dense_phase(self, chunk)
+            self._pyramid_kernels[chunk] = kern
+        outs = kern(gray)
+        res = []
+        for li in chunk:
+            img_l, vnf, alive = outs[li]
+            if img_l is None:            # unscaled level == the work image
+                img_l = gray
+            res.append(self._level_post(
+                li, img_l, None, None, vnf, alive.astype(bool)))
+        return res
 
     def _detect_impl(self, gray):
         """gray [B, H, W] uint8 → (boxes [B, TC, 4] i32, valid [B, TC] bool,
         overflow [B] bool)."""
         B = gray.shape[0]
-        pyr_lis = self._pyramid_level_indices()
-        pyr_outs = {}
-        if pyr_lis:
-            kern = self._pyramid_kernel
-            if kern is None:
-                from ..ops.pallas.dense_pallas import build_pyramid_dense_phase
-                kern = build_pyramid_dense_phase(self, pyr_lis)
-                self._pyramid_kernel = kern
-            pyr_outs = kern(gray)
+        covered: dict[int, tuple[int, ...]] = {}
+        for chunk in self._pyramid_chunks():
+            for li in chunk:
+                covered[li] = chunk
         out_boxes, out_valid = [], []
         overflow = jnp.zeros((B,), bool)
         for li in range(len(self.levels)):
-            if li in pyr_outs:
-                img_l, vnf, alive = pyr_outs[li]
-                if img_l is None:        # unscaled level == the work image
-                    img_l = gray
-                boxes, alive, ovf = self._level_post(
-                    li, img_l, None, None, vnf, alive.astype(bool))
+            chunk = covered.get(li)
+            if chunk is not None:
+                if li != chunk[0]:
+                    continue             # emitted with the chunk head
+                results = self._eval_chunk(gray, chunk)
             else:
-                boxes, alive, ovf = self._eval_level(gray, li)
-            out_boxes.append(boxes)
-            out_valid.append(alive)
-            overflow = overflow | ovf
+                results = [self._eval_level(gray, li)]
+            for boxes, alive, ovf in results:
+                out_boxes.append(boxes)
+                out_valid.append(alive)
+                overflow = overflow | ovf
         return (jnp.concatenate(out_boxes, axis=1),
                 jnp.concatenate(out_valid, axis=1),
                 overflow)
@@ -628,40 +665,70 @@ class CascadeEngine:
         return boxes, sel_alive, overflow
 
     # ------------------------------------------------------------------- API
+    def _per_level_items(self) -> list:
+        """Execution plan for per-level mode: pyramid-kernel CHUNKS (one
+        program per chunk — fewer programs through the remote compiler
+        than one-per-level, and the source image crosses HBM once per
+        chunk) interleaved with solo levels."""
+        covered: dict[int, tuple[int, ...]] = {}
+        for chunk in self._pyramid_chunks():
+            for li in chunk:
+                covered[li] = chunk
+        items: list = []
+        for li in range(len(self.levels)):
+            ch = covered.get(li)
+            if ch is None:
+                items.append(li)
+            elif li == ch[0]:
+                items.append(ch)
+        return items
+
+    def _make_item_jit(self, item):
+        if isinstance(item, tuple):
+            def run_chunk(gray, _chunk=item):
+                res = self._eval_chunk(gray, _chunk)
+                ovf = res[0][2]
+                for r in res[1:]:
+                    ovf = ovf | r[2]
+                return (jnp.concatenate([r[0] for r in res], axis=1),
+                        jnp.concatenate([r[1] for r in res], axis=1),
+                        ovf)
+            return jax.jit(run_chunk)
+        return jax.jit(functools.partial(self._eval_level, li=item))
+
     def _detect_per_level(self, gray):
-        """Fallback execution mode: one jitted program per pyramid level.
+        """Fallback execution mode: one jitted program per plan item
+        (pyramid-kernel chunk or solo level).
 
         The whole-pyramid program for fine scale factors (e.g. 1.1 → ~29
-        levels) can exceed what the TPU remote compiler handles; per-level
+        levels) can exceed what the TPU remote compiler handles; per-item
         programs are small, compile reliably, and pipeline back-to-back."""
         if not hasattr(self, "_level_jits"):
             self._level_jits = {}
         outs = []
-        for li in range(len(self.levels)):
-            fn = self._level_jits.get(li)
+        for item in self._per_level_items():
+            fn = self._level_jits.get(item)
             if fn is None:
-                fn = jax.jit(functools.partial(self._eval_level, li=li))
-                self._level_jits[li] = fn
+                fn = self._make_item_jit(item)
+                self._level_jits[item] = fn
             try:
                 outs.append(fn(gray))
             except Exception:  # noqa: BLE001 — Pallas lowering failure
                 # last recovery tier: a Pallas kernel this backend can't
                 # lower (Mosaic version drift, exotic level geometry).
                 # The XLA dense/integral phase is bit-identical — drop
-                # the kernels engine-wide and rebuild this level's
-                # program (later levels rebuild via the cleared cache).
-                if not (self._use_pallas_dense or self._use_pallas_integral):
+                # the kernels engine-wide and restart the plan (now all
+                # solo XLA levels; rare path, recomputation is cheap).
+                if not (self._use_pallas_dense or self._use_pallas_integral
+                        or self._use_pallas_pyramid):
                     raise
                 self._use_pallas_dense = False
                 self._use_pallas_integral = False
                 self._use_pallas_pyramid = False
-                self._pyramid_kernel = None
+                self._pyramid_kernels.clear()
                 self._dense_kernels.clear()
-                self._level_jits = {
-                    k: v for k, v in self._level_jits.items() if k < li}
-                fn = jax.jit(functools.partial(self._eval_level, li=li))
-                self._level_jits[li] = fn
-                outs.append(fn(gray))
+                self._level_jits = {}
+                return self._detect_per_level(gray)
         boxes = jnp.concatenate([o[0] for o in outs], axis=1)
         valid = jnp.concatenate([o[1] for o in outs], axis=1)
         ovf = outs[0][2]
@@ -686,15 +753,14 @@ class CascadeEngine:
             self._level_jits = {}
         import concurrent.futures as cf
 
-        def build(li):
-            fn = self._level_jits.get(li) or jax.jit(
-                functools.partial(self._eval_level, li=li))
+        def build(item):
+            fn = self._level_jits.get(item) or self._make_item_jit(item)
             jax.block_until_ready(fn(gray))
-            return li, fn
+            return item, fn
 
         with cf.ThreadPoolExecutor(max_workers=threads) as ex:
-            for li, fn in ex.map(build, range(len(self.levels))):
-                self._level_jits[li] = fn
+            for item, fn in ex.map(build, self._per_level_items()):
+                self._level_jits[item] = fn
 
     def detect_raw(self, gray):
         """gray [B,H,W] or [H,W] uint8 → (boxes, valid, overflow) on device.
@@ -715,11 +781,11 @@ class CascadeEngine:
         try:
             return self._detect_jit(gray)
         except Exception:  # noqa: BLE001 — backend compile failure
-            if self._use_pallas_pyramid and self._pyramid_level_indices():
+            if self._use_pallas_pyramid and self._pyramid_chunks():
                 # first recovery tier: retry the whole-pyramid program
-                # without the all-levels kernel (per-level kernels intact)
+                # without the chunk kernels (per-level kernels intact)
                 self._use_pallas_pyramid = False
-                self._pyramid_kernel = None
+                self._pyramid_kernels.clear()
                 self._detect_jit = jax.jit(self._detect_impl)
                 try:
                     return self._detect_jit(gray)

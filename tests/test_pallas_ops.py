@@ -364,3 +364,41 @@ def test_pyramid_kernel_matches_xla_engine(rng):
         assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
         total += len(a)
     assert total > 0
+
+
+def test_pyramid_chunks_per_level_mode(rng):
+    """Deep pyramids (force_per_level) execute as pyramid-kernel CHUNKS —
+    a handful of programs instead of one per level — with the identical
+    window set. Chunk boundaries respect the VMEM sum budget and each
+    chunk must beat the XLA path's byte cost."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import face_scene
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+    from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
+
+    casc = load_cascade_xml(
+        "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml")
+    eng_p = CascadeEngine(casc, (96, 72), 1.05, use_pallas_dense=True,
+                          use_pallas_pyramid=True)
+    assert eng_p._force_per_level              # deep pyramid, >20 levels
+    chunks = eng_p._pyramid_chunks()
+    assert len(chunks) >= 2                    # budget really splits it
+    items = eng_p._per_level_items()
+    assert len(items) < len(eng_p.levels)      # fewer programs than levels
+    for ch in chunks:
+        assert list(ch) == list(range(ch[0], ch[-1] + 1))  # consecutive
+        total = sum((eng_p.levels[li].sh + 1) * (eng_p.levels[li].sw + 1)
+                    for li in ch)
+        assert total <= eng_p.PALLAS_PYRAMID_MAX_SUM_ELEMS
+
+    eng_r = CascadeEngine(casc, (96, 72), 1.05, use_pallas_dense=False,
+                          use_pallas_pyramid=False)
+    frames = np.stack([
+        face_scene(96, 72, faces=((48, 36, 28),), noise=8, seed=7)])
+    gray = jnp.asarray(frames)
+    total = 0
+    for a, b in zip(eng_r.candidates(gray), eng_p.candidates(gray)):
+        assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
+        total += len(a)
+    assert total > 0
