@@ -142,7 +142,10 @@ class MediaRunner:
             elif hasattr(model, "WORK_W"):          # CnnFaceDetector
                 if getattr(model, "multi_scale", False):
                     return None   # the 640-wide pass needs full frames
-                res.add((model.WORK_W, model.WORK_H))
+                # the letterbox resize target (aspect preserved), not the
+                # padded canvas: the device pad stays, the resize becomes
+                # an identity
+                res.add((model._rw, model._rh))
             else:                                   # parts / tracker
                 return None
         return res.pop() if len(res) == 1 else None

@@ -446,7 +446,9 @@ class CnnDetectorConfig:
     """Knobs for the learned detector object (no reference analog — the
     reference ships only fixed cascades; this extends the module family)."""
 
-    threshold: float = 0.5       # objectness threshold
+    threshold: float | None = None  # objectness threshold; None → the
+    #                                 measured serving operating point
+    #                                 (models/cnn.SERVING_THRESHOLD)
     quantized: int = 0           # 1 → int8 serving path (models/quant.py)
     multi_scale: int = 0         # 1 → 320+640 two-scale inference
     detect_event: int = 0        # shared gating knobs (models/base.py)

@@ -22,10 +22,23 @@ import numpy as np
 import optax
 
 STRIDE = 16  # total downsample: detection grid cell size in pixels
+CTX_DILATION = 4   # context conv: 3x3 dil-4 on the stride-16 grid (+128 px RF)
 
 
-def init_params(key, channels=(16, 32, 64, 128), head_dim=256) -> dict:
-    """Backbone: 4 stride-2 3x3 convs; head: 1x1 -> head_dim -> 5 outputs."""
+def init_params(key, channels=(16, 32, 64, 128), head_dim=256,
+                ctx: bool = False) -> dict:
+    """Backbone: 4 stride-2 3x3 convs; head: 1x1 -> head_dim -> 5 outputs.
+
+    ctx=True adds a dilated CONTEXT conv between backbone and head
+    (residual 3x3, dilation CTX_DILATION): it widens the per-cell
+    receptive field from ~31 px to ~159 px so a head cell sees the whole
+    face, not a nose-sized patch. Proven on the parts model
+    (cnn_parts.init_params) where it eliminated cross-class false
+    positives; the round-3 textured training backgrounds
+    (distill.make_scene) collapsed the plain backbone's precision to
+    0.497, so the shipped face checkpoint now trains with ctx=True.
+    forward() applies it only when the checkpoint carries a "ctx" entry —
+    older ctx-less checkpoints keep loading unchanged."""
     params = {}
     cin = 1
     for i, c in enumerate(channels):
@@ -46,6 +59,13 @@ def init_params(key, channels=(16, 32, 64, 128), head_dim=256) -> dict:
         "w": jax.random.normal(k2, (head_dim, 5), jnp.float32) * 0.01,
         "b": jnp.zeros((5,), jnp.float32),
     }
+    if ctx:
+        kctx = jax.random.fold_in(key, 11)
+        params["ctx"] = {
+            "w": jax.random.normal(kctx, (3, 3, cin, cin), jnp.float32)
+                 * np.sqrt(2.0 / (9 * cin)),
+            "b": jnp.zeros((cin,), jnp.float32),
+        }
     return params
 
 
@@ -63,6 +83,21 @@ def backbone(params: dict, gray: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def apply_ctx(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Residual dilated context conv on the feature grid (no-op when the
+    checkpoint has no "ctx" entry). Shared by the face model (forward)
+    and the multi-part model (cnn_parts.forward)."""
+    if "ctx" not in params:
+        return x
+    w = params["ctx"]["w"].astype(jnp.bfloat16)
+    c = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        rhs_dilation=(CTX_DILATION, CTX_DILATION),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.bfloat16)
+    return x + jax.nn.relu(c + params["ctx"]["b"].astype(jnp.bfloat16))
+
+
 def head(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """feature grid [B, gh, gw, C] → [B, gh, gw, out] (head1/head2)."""
     h = jnp.einsum("bhwc,cd->bhwd", x,
@@ -78,50 +113,101 @@ def head(params: dict, x: jnp.ndarray) -> jnp.ndarray:
 def forward(params: dict, gray: jnp.ndarray) -> jnp.ndarray:
     """gray [B, H, W] uint8 → [B, H/16, W/16, 5] (logit, dx, dy, logw, logh).
 
-    bfloat16 activations; convs/matmuls hit the MXU.
+    bfloat16 activations; convs/matmuls hit the MXU. The residual context
+    conv runs when the checkpoint ships one (init_params ctx=True).
     """
-    return head(params, backbone(params, gray))
+    return head(params, apply_ctx(params, backbone(params, gray)))
 
 
-def boxes_to_targets(boxes, valid, img_h, img_w):
+def boxes_to_targets(boxes, valid, img_h, img_w,
+                     ignore_boxes=None, ignore_valid=None):
     """[B,N,4] boxes + [B,N] valid → detection-grid targets.
 
-    obj [B,gh,gw]; reg [B,gh,gw,4] (center offset within cell /STRIDE,
-    log w/h relative to STRIDE)."""
+    obj [B,gh,gw] ∈ {1, -1, -2, 0}: 1 = center cell (positive), -1 = a
+    cell in the 3×3 ring around a center (IGNORED by the objectness loss
+    but regression-supervised), -2 = inside an ignore box (no gradient
+    at all — used for faces the distillation teacher missed, see
+    distill.label_batch), 0 = negative. reg [B,gh,gw,4] (center offset
+    within the CELL's own frame /STRIDE, log w/h relative to STRIDE) is
+    filled for the whole 3×3 neighborhood, so a borderline neighbor cell
+    that fires at inference predicts the SAME face box as the center and
+    NMS merges them — the round-3 eval showed 11/15 false positives were
+    exactly such near-miss duplicates (IoU 0.17-0.44 vs the face), from
+    neighbors firing with unsupervised regression."""
     gh, gw = img_h // STRIDE, img_w // STRIDE
     B, N = valid.shape
-    obj = jnp.zeros((B, gh, gw), jnp.float32)
+    pos = jnp.zeros((B, gh, gw), jnp.float32)
+    nb = jnp.zeros((B, gh, gw), jnp.float32)
     reg = jnp.zeros((B, gh, gw, 4), jnp.float32)
     cx = boxes[..., 0] + boxes[..., 2] / 2.0
     cy = boxes[..., 1] + boxes[..., 3] / 2.0
     gx = jnp.clip((cx / STRIDE).astype(jnp.int32), 0, gw - 1)
     gy = jnp.clip((cy / STRIDE).astype(jnp.int32), 0, gh - 1)
     bidx = jnp.arange(B)[:, None] * jnp.ones((1, N), jnp.int32)
-    obj = obj.at[bidx, gy, gx].max(valid.astype(jnp.float32))
-    t = jnp.stack([
-        cx / STRIDE - gx, cy / STRIDE - gy,
-        jnp.log(jnp.maximum(boxes[..., 2], 1) / STRIDE),
-        jnp.log(jnp.maximum(boxes[..., 3], 1) / STRIDE),
-    ], axis=-1)
-    reg = reg.at[bidx, gy, gx].set(
-        jnp.where(valid[..., None], t, 0.0))
+    logw = jnp.log(jnp.maximum(boxes[..., 2], 1) / STRIDE)
+    logh = jnp.log(jnp.maximum(boxes[..., 3], 1) / STRIDE)
+    # neighbors first, center (0,0) LAST so its regression wins conflicts
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+               if (dy, dx) != (0, 0)] + [(0, 0)]
+    for dy, dx in offsets:
+        gyn = jnp.clip(gy + dy, 0, gh - 1)
+        gxn = jnp.clip(gx + dx, 0, gw - 1)
+        t = jnp.stack([cx / STRIDE - gxn, cy / STRIDE - gyn, logw, logh],
+                      axis=-1)
+        reg = reg.at[bidx, gyn, gxn].set(
+            jnp.where(valid[..., None], t, reg[bidx, gyn, gxn]))
+        nb = nb.at[bidx, gyn, gxn].max(valid.astype(jnp.float32))
+        if (dy, dx) == (0, 0):
+            pos = pos.at[bidx, gyn, gxn].max(valid.astype(jnp.float32))
+    obj = pos - nb * (1.0 - pos)     # 1 pos, -1 ignore-ring, 0 negative
+    if ignore_boxes is not None:
+        xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * STRIDE
+        ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * STRIDE
+        x0, y0 = ignore_boxes[..., 0], ignore_boxes[..., 1]
+        x1, y1 = x0 + ignore_boxes[..., 2], y0 + ignore_boxes[..., 3]
+        inx = (xs >= x0[..., None]) & (xs <= x1[..., None])   # [B,N,gw]
+        iny = (ys >= y0[..., None]) & (ys <= y1[..., None])   # [B,N,gh]
+        cover = (inx[:, :, None, :] & iny[:, :, :, None]
+                 & ignore_valid[..., None, None]).any(axis=1)  # [B,gh,gw]
+        obj = jnp.where((obj == 0) & cover, -2.0, obj)
     return obj, reg
 
 
 POS_WEIGHT = 64.0  # positives are ~1:300 cells; unweighted BCE suppresses them
+NEG_FOCAL = 8.0    # extra weight on confident false positives (see loss_fn)
 
 
 def loss_fn(params, gray, obj_t, reg_t):
+    """obj_t ∈ {1, -1, -2, 0} (positive / ignore-ring / ignore-box /
+    negative, see boxes_to_targets): the ring contributes regression but
+    no objectness gradient — its cells legitimately see most of the
+    face, and forcing them to 0 fights the positive next door; ignore
+    boxes (teacher-missed faces) contribute nothing."""
     pred = forward(params, gray)
     obj_logit = pred[..., 0]
-    bce = optax.sigmoid_binary_cross_entropy(obj_logit, obj_t)
-    obj_loss = (bce * jnp.where(obj_t > 0, POS_WEIGHT, 1.0)).mean()
+    pos = (obj_t > 0).astype(jnp.float32)
+    ign = (obj_t < 0).astype(jnp.float32)
+    regw = (pos + (obj_t == -1).astype(jnp.float32))[..., None]  # 3×3 ring
+    bce = optax.sigmoid_binary_cross_entropy(obj_logit, pos)
+    # hard-negative emphasis: a negative cell the model scores near 1 (a
+    # texture false positive — the round-3 failure mode on real imagery)
+    # gets up to NEG_FOCAL extra weight; easy negatives keep weight 1 so
+    # the base ranking pressure of plain BCE is preserved
+    p = jax.lax.stop_gradient(jax.nn.sigmoid(obj_logit))
+    neg_w = (1.0 + NEG_FOCAL * jnp.square(p)) * (1.0 - ign)
+    obj_loss = (bce * jnp.where(pos > 0, POS_WEIGHT, neg_w)).mean()
     reg_loss = (jnp.abs(pred[..., 1:] - reg_t)
-                * obj_t[..., None]).sum() / jnp.maximum(obj_t.sum(), 1.0)
+                * regw).sum() / jnp.maximum(regw.sum(), 1.0)
     return obj_loss + reg_loss, (obj_loss, reg_loss)
 
 
-def make_optimizer(lr=3e-4):
+def make_optimizer(lr=3e-4, steps: int | None = None):
+    """AdamW; when the total step count is known, warmup + cosine decay
+    to 2% of peak (constant-LR runs at 3e-4 never settle: the 1500-step
+    round-3 retrain plateaued with loss bouncing 0.19-0.47)."""
+    if steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, lr, min(200, max(steps // 10, 1)), steps, lr * 0.02)
     return optax.adamw(lr, weight_decay=1e-4)
 
 
@@ -202,7 +288,34 @@ def load_params_npz(path: str) -> dict:
     return params
 
 
+def letterbox_params(frame_w: int, frame_h: int,
+                     work_w: int, work_h: int) -> tuple[int, int, int, int]:
+    """Aspect-preserving fit of a frame into the working canvas.
+
+    Returns (rw, rh, ox, oy): the frame resizes to rw×rh (uniform scale,
+    the largest that fits) and sits at offset (ox, oy) inside the
+    work_w×work_h canvas; the remainder is padding. Training scenes are
+    native 320×240, so squashing an arbitrary-aspect camera frame to
+    320×240 (the round-3 bug this replaces) puts inference outside the
+    training distribution AND mis-maps y coordinates (a single
+    frame_w-based scale was applied to both axes). 4:3 frames degenerate
+    to rw=work_w, rh=work_h, ox=oy=0 — bit-identical to the old path."""
+    s = min(work_w / frame_w, work_h / frame_h)
+    rw = max(1, int(round(frame_w * s)))
+    rh = max(1, int(round(frame_h * s)))
+    return rw, rh, (work_w - rw) // 2, (work_h - rh) // 2
+
+
 DEFAULT_CHECKPOINT = "cnn_face_v1.npz"
+
+# Serving operating point for the shipped checkpoint, measured by
+# threshold sweep on the frozen synthetic eval (tests/test_cnn_checkpoint)
+# AND the real-image eval (tools/real_eval.py --builtin) — the same
+# measured-default pattern as cnn_parts.DEFAULT_THRESHOLDS. Constructors
+# resolve threshold=None to this; an explicit threshold (or the
+# setThreshold RPC) overrides it. Re-measure whenever the checkpoint is
+# retrained.
+SERVING_THRESHOLD = 0.5
 
 
 def find_checkpoint(name: str = DEFAULT_CHECKPOINT) -> str | None:
@@ -231,13 +344,18 @@ class CnnFaceDetector:
     """
 
     WORK_W, WORK_H = 320, 240    # grid 20x15 at STRIDE 16
+    # faces in one frame essentially never overlap >0.35 IoU; anything
+    # above that is a near-miss duplicate of one face (round-3 FP
+    # analysis: 11/15 FPs were neighbor-cell duplicates at IoU 0.17-0.44)
+    NMS_IOU = 0.35
     # two-scale inference option: + a 640-wide pass so faces smaller than
     # ~2 grid cells at 320 are still seen (detections from both scales are
     # merged by one cross-scale NMS in canonical 320-space)
     MULTI_SCALES = ((320, 240), (640, 480))
 
     def __init__(self, frame_size: tuple[int, int], params: dict | None = None,
-                 checkpoint: str | None = None, threshold: float = 0.5,
+                 checkpoint: str | None = None,
+                 threshold: float | None = None,
                  n_streams: int = 1, multi_scale: bool = False,
                  detect_event: int = 0, process_x_every_4_frames: int = 4):
         from .base import GopScheduler, EventGate
@@ -252,9 +370,13 @@ class CnnFaceDetector:
                     "models/distill.py or pass params=")
             params = load_params_npz(path)
         self.params = params
-        self.threshold = threshold
+        self.threshold = (SERVING_THRESHOLD if threshold is None
+                          else float(threshold))
         self.multi_scale = bool(multi_scale)
-        self.scale_back = self.frame_w / self.WORK_W
+        # aspect-preserving letterbox geometry (canonical WORK canvas)
+        self._rw, self._rh, self._ox, self._oy = letterbox_params(
+            self.frame_w, self.frame_h, self.WORK_W, self.WORK_H)
+        self.scale_back = self.frame_w / self._rw
         self.tracks = [FaceTracks() for _ in range(n_streams)]
         # same GOP-skip / event-gate scheduling as the cascade face
         # detector (the remote object exposes the shared detectByEvent /
@@ -294,23 +416,40 @@ class CnnFaceDetector:
             else ((self.WORK_W, self.WORK_H),)
 
     def _multi_detect(self, gray, fwd):
-        """Shared single/multi-scale decode: run `fwd` at every working
-        scale, map boxes into canonical WORK-space, one NMS across the
-        union (also suppresses cross-scale duplicates)."""
+        """Shared single/multi-scale decode: letterbox-resize into each
+        working canvas (aspect preserved, edge-replicated padding — no
+        artificial dark borders for the objectness head to fire on), run
+        `fwd` at every scale, map boxes into canonical WORK-space, one
+        NMS across the union (also suppresses cross-scale duplicates)."""
         from ..ops.resize import resize_linear_exact
 
         all_boxes, all_scores, all_valid = [], [], []
         for (sw, sh) in self._scales():
-            work = resize_linear_exact(gray, (sw, sh))
+            k = sw // self.WORK_W
+            work = resize_linear_exact(gray, (self._rw * k, self._rh * k))
+            oy, ox = self._oy * k, self._ox * k
+            pad = ((0, 0), (oy, sh - self._rh * k - oy),
+                   (ox, sw - self._rw * k - ox))
+            if any(p != (0, 0) for p in pad):
+                work = jnp.pad(work, pad, mode="edge")
             pred = fwd(work)
             boxes, scores, valid = decode(pred, self.threshold)
+            # a detection whose CENTER lies in the letterbox padding is
+            # spurious by construction (the pad is edge-replicated smear,
+            # not image content) — drop it before NMS so it can't shadow
+            # a real in-content box either
+            cx = boxes[..., 0] + boxes[..., 2] * 0.5
+            cy = boxes[..., 1] + boxes[..., 3] * 0.5
+            inside = ((cx >= ox) & (cx < ox + self._rw * k)
+                      & (cy >= oy) & (cy < oy + self._rh * k))
             all_boxes.append(boxes * (self.WORK_W / sw))
             all_scores.append(scores)
-            all_valid.append(valid)
+            all_valid.append(valid & inside)
         boxes = jnp.concatenate(all_boxes, axis=1)
         scores = jnp.concatenate(all_scores, axis=1)
         valid = jnp.concatenate(all_valid, axis=1)
-        keep = jax.vmap(nms)(boxes, scores, valid)
+        keep = jax.vmap(lambda b, s, v: nms(b, s, v, self.NMS_IOU))(
+            boxes, scores, valid)
         return boxes, scores, valid & keep
 
     def _device_detect(self, gray):
@@ -330,7 +469,9 @@ class CnnFaceDetector:
         boxes, valid = np.asarray(boxes), np.asarray(valid)
         out = []
         for b in range(n_real):
-            kept = boxes[b][valid[b]] * self.scale_back
+            kept = boxes[b][valid[b]] - np.array(
+                [self._ox, self._oy, 0, 0], np.float32)
+            kept = kept * self.scale_back
             out.append(np.rint(kept).astype(np.int32)
                        if len(kept) else np.zeros((0, 4), np.int32))
         return out

@@ -63,23 +63,13 @@ def init_params(key, head_dim: int = 256) -> dict:
     return params
 
 
-CTX_DILATION = 4   # 3x3 dil-4 on the stride-16 grid: +128 px RF
+CTX_DILATION = cnn.CTX_DILATION   # 3x3 dil-4 on the stride-16 grid: +128 px RF
 
 
 def forward(params, gray):
     """gray [B,H,W] uint8 → [B, gh, gw, C, 5]: cnn backbone → dilated
-    context conv (residual) → wide head; same MXU path."""
-    import jax
-    import jax.numpy as jnp
-
-    x = cnn.backbone(params, gray)           # [B, gh, gw, cdim]
-    w = params["ctx"]["w"].astype(jnp.bfloat16)
-    c = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="SAME",
-        rhs_dilation=(CTX_DILATION, CTX_DILATION),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.bfloat16)
-    x = x + jax.nn.relu(c + params["ctx"]["b"].astype(jnp.bfloat16))
+    context conv (residual, cnn.apply_ctx) → wide head; same MXU path."""
+    x = cnn.apply_ctx(params, cnn.backbone(params, gray))
     out = cnn.head(params, x)                # [B, gh, gw, C*5]
     B, gh, gw, _ = out.shape
     return out.reshape(B, gh, gw, C, 5)
@@ -168,11 +158,15 @@ def loss_fn(params, gray, obj_t, reg_t):
     pred = forward(params, gray)             # [B,gh,gw,C,5]
     obj_logit = jnp.moveaxis(pred[..., 0], 3, 1)          # [B,C,gh,gw]
     reg = jnp.moveaxis(pred[..., 1:], 3, 1)               # [B,C,gh,gw,4]
-    bce = optax.sigmoid_binary_cross_entropy(obj_logit, obj_t)
+    pos = (obj_t > 0).astype(jnp.float32)
+    ign = (obj_t < 0).astype(jnp.float32)    # ignore-ring (boxes_to_targets)
+    regw = (pos + (obj_t == -1).astype(jnp.float32))[..., None]
+    bce = optax.sigmoid_binary_cross_entropy(obj_logit, pos)
     cw = jnp.asarray(CLASS_POS_WEIGHT)[None, :, None, None]
-    obj_loss = (bce * jnp.where(obj_t > 0, cnn.POS_WEIGHT * cw, 1.0)).mean()
+    obj_loss = (bce * jnp.where(pos > 0, cnn.POS_WEIGHT * cw,
+                                1.0 - ign)).mean()
     reg_loss = (jnp.abs(reg - reg_t)
-                * obj_t[..., None]).sum() / jnp.maximum(obj_t.sum(), 1.0)
+                * regw).sum() / jnp.maximum(regw.sum(), 1.0)
     return obj_loss + reg_loss, (obj_loss, reg_loss)
 
 
@@ -285,7 +279,10 @@ class CnnPartDetector:
         elif threshold is not None:
             per_class = {k: float(threshold) for k in CLASSES}
         self.thresholds = tuple(per_class[k] for k in CLASSES)
-        self.scale_back = self.frame_w / self.WORK_W
+        # aspect-preserving letterbox (same scheme as CnnFaceDetector)
+        self._rw, self._rh, self._ox, self._oy = cnn.letterbox_params(
+            self.frame_w, self.frame_h, self.WORK_W, self.WORK_H)
+        self.scale_back = self.frame_w / self._rw
         self._jit = jax.jit(self._device_detect)
 
     def _device_detect(self, gray):
@@ -294,7 +291,11 @@ class CnnPartDetector:
 
         from ..ops.resize import resize_linear_exact
 
-        work = resize_linear_exact(gray, (self.WORK_W, self.WORK_H))
+        work = resize_linear_exact(gray, (self._rw, self._rh))
+        pad = ((0, 0), (self._oy, self.WORK_H - self._rh - self._oy),
+               (self._ox, self.WORK_W - self._rw - self._ox))
+        if any(p != (0, 0) for p in pad):
+            work = jnp.pad(work, pad, mode="edge")
         pred = forward(self.params, work)       # [B,gh,gw,C,5]
         outs = []
         for ci in range(C):
@@ -323,7 +324,8 @@ class CnnPartDetector:
             frame = {}
             for ci, k in enumerate(CLASSES):
                 boxes, valid = host[ci]
-                kept = boxes[i][valid[i]] * self.scale_back
+                kept = (boxes[i][valid[i]] - np.array(
+                    [self._ox, self._oy, 0, 0], np.float32)) * self.scale_back
                 frame[k] = [tuple(int(round(x)) for x in bx) for bx in kept]
             results.append(frame)
         return results

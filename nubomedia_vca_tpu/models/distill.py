@@ -29,14 +29,33 @@ MAX_FACES = 4
 
 
 def _draw_face(img, cx, cy, s, rng):
-    """Cartoon face tuned to fire haarcascade_frontalface_alt (same
-    recipe as tests/fixtures.draw_face, with brightness jitter)."""
+    """Cartoon face tuned to fire haarcascade_frontalface_alt (same base
+    recipe as tests/fixtures.draw_face, with brightness jitter) — plus
+    GEOMETRY jitter: head aspect, eye spread/height, mouth position,
+    optional hair cap / shoulders / lateral lighting gradient.
+
+    The jitter matters for real-image transfer: with fixed proportions
+    the student memorizes "teacher box = 2.13×(eye spread at 0.39 box
+    height)" (measured) and mis-sizes real faces whose feature layout
+    differs (round-3 Grace Hopper eval: box 0.75× too small, IoU 0.47).
+    Varying the layout forces the student to regress wherever the
+    TEACHER's box actually lands on the final pixels — faces the jitter
+    pushes past the teacher's tolerance become IGNORE regions
+    (label_batch), never negatives."""
     import cv2
 
     base = int(rng.randint(180, 230))
-    cv2.ellipse(img, (cx, cy), (int(0.78 * s), s), 0, 0, 360, base, -1)
-    ey = cy - int(0.25 * s)
-    ex = int(0.34 * s)
+    ax = float(rng.uniform(0.70, 0.88))          # head width / s
+    cv2.ellipse(img, (cx, cy), (int(ax * s), s), 0, 0, 360, base, -1)
+    if rng.rand() < 0.5:                         # hair cap over the crown
+        hair = int(rng.randint(25, 85))
+        cap = float(rng.uniform(0.45, 0.75))     # cap lower edge (× s above cy)
+        cv2.ellipse(img, (cx, cy), (int(ax * s) + 1, s + 1), 0,
+                    180 + 28, 360 - 28, hair, -1)
+        cv2.ellipse(img, (cx, cy - int(cap * s)), (int(ax * s * 0.97),
+                    int((1.0 - cap) * s)), 0, 0, 360, base, -1)
+    ey = cy - int(float(rng.uniform(0.20, 0.30)) * s)
+    ex = int(float(rng.uniform(0.30, 0.38)) * s)
     for sx in (-1, 1):
         cv2.ellipse(img, (cx + sx * ex, ey - int(0.18 * s)),
                     (int(0.22 * s), int(0.06 * s)), 0, 0, 360, 95, -1)
@@ -44,19 +63,95 @@ def _draw_face(img, cx, cy, s, rng):
                     0, 0, 360, 40, -1)
     cv2.line(img, (cx, cy - int(0.05 * s)), (cx, cy + int(0.3 * s)),
              130, max(1, s // 10))
-    cv2.ellipse(img, (cx, cy + int(0.55 * s)), (int(0.34 * s), int(0.12 * s)),
+    my = cy + int(float(rng.uniform(0.48, 0.62)) * s)
+    cv2.ellipse(img, (cx, my), (int(0.34 * s), int(0.12 * s)),
                 0, 0, 360, 70, -1)
+    if rng.rand() < 0.4:                         # shoulders below the head
+        sh = int(rng.randint(30, 110))
+        cv2.ellipse(img, (cx, cy + int(1.55 * s)),
+                    (int(1.5 * s), int(0.7 * s)), 0, 180, 360, sh, -1)
+    if rng.rand() < 0.4:                         # lateral lighting gradient
+        H_, W_ = img.shape
+        x0, x1 = max(cx - 2 * s, 0), min(cx + 2 * s, W_)
+        y0, y1 = max(cy - 2 * s, 0), min(cy + 2 * s, H_)
+        if x1 > x0 and y1 > y0:
+            g = np.linspace(float(rng.uniform(-28, 0)),
+                            float(rng.uniform(0, 28)), x1 - x0,
+                            dtype=np.float32)
+            if rng.rand() < 0.5:
+                g = g[::-1]
+            patch = img[y0:y1, x0:x1].astype(np.float32) + g[None, :]
+            img[y0:y1, x0:x1] = np.clip(patch, 0, 255).astype(np.uint8)
 
 
-def make_scene(rng) -> np.ndarray:
-    img = np.full((H, W), int(rng.randint(90, 150)), np.uint8)
+def make_scene(rng, return_geom: bool = False):
+    """Training/eval scene: faces over a mixed flat/textured background.
+
+    return_geom=True additionally returns the drawn-face geometry
+    [(x, y, w, h), ...] (generous 2s-square per face) with IDENTICAL RNG
+    consumption, so frozen eval labels regenerated from a stored seed
+    stay valid. Geometry feeds the teacher-miss IGNORE regions: the
+    cascade teacher misses ~18% of drawn faces on textured backgrounds,
+    and labeling those faces NEGATIVE teaches the student to suppress
+    real faces (measured round 3: 8 of 10 eval "false positives" were
+    teacher-missed drawn faces the student correctly found).
+
+    Backgrounds come from models/textures.face_bg (multi-octave noise,
+    gratings, checkers, edge clutter, gradients, plus the round-3b
+    additions targeting measured real-image FP morphology: dark bokeh,
+    petal rosettes, hillshaded real-terrain crops, Voronoi patchwork
+    composites, low-key exposures) so real-world high-frequency structure
+    is a hard negative at training time — the round-3 texture-brittleness
+    mitigation measured by tools/real_eval.py --builtin. Half the scenes
+    additionally get
+    photographic photometrics (Gaussian defocus blur + contrast/gamma
+    jitter) applied BEFORE teacher labeling, pushing the cartoon faces
+    toward the smooth shading of real portraits. Labels stay
+    teacher-generated (label_batch) on the final augmented pixels, so
+    any teacher response to textures/blur is itself distilled, keeping
+    the student a faithful cascade mimic. The frozen eval labels
+    (tests/data/cnn_eval_labels.npz) must be regenerated via
+    tools/make_cnn_eval_labels.py whenever this recipe changes."""
+    import cv2
+
+    from .textures import face_bg
+
+    img = face_bg(rng, W, H)
+    geom = []
     for _ in range(int(rng.randint(0, MAX_FACES))):
         s = int(rng.randint(24, 70))
-        cx = int(rng.randint(s, W - s))
-        cy = int(rng.randint(s, H - s))
+        if rng.rand() < 0.15:
+            # edge-clipped placement: real streams routinely show faces
+            # (and face-sized structures) half out of frame; without
+            # these the detector's edge-cell behavior is unsupervised
+            # (round-3b: china.jpg's top FP box extended past the frame
+            # top). Teacher misses on clipped faces become IGNORE
+            # regions via label_batch, never negatives.
+            edge = int(rng.randint(0, 4))        # 0 top 1 bottom 2 left 3 right
+            off = int(rng.randint(0, s))         # how deep into the frame
+            if edge < 2:
+                cx = int(rng.randint(s, W - s))
+                cy = off if edge == 0 else H - 1 - off
+            else:
+                cx = off if edge == 2 else W - 1 - off
+                cy = int(rng.randint(s, H - s))
+        else:
+            cx = int(rng.randint(s, W - s))
+            cy = int(rng.randint(s, H - s))
         _draw_face(img, cx, cy, s, rng)
+        geom.append((cx - s, cy - s, 2 * s, 2 * s))
+    out = img.astype(np.float32)
+    if rng.rand() < 0.5:  # defocus: cartoons → photo-smooth shading
+        out = cv2.GaussianBlur(out, (0, 0),
+                               sigmaX=float(rng.uniform(0.5, 1.6)))
+    if rng.rand() < 0.5:  # contrast/gamma jitter (exposure variation)
+        out = np.clip(out, 0, 255) / 255.0
+        out = out ** float(rng.uniform(0.7, 1.4))
+        mid = float(out.mean())
+        out = (mid + (out - mid) * float(rng.uniform(0.75, 1.25))) * 255.0
     noise = rng.randint(-5, 6, (H, W))
-    return np.clip(img.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+    final = np.clip(out + noise, 0, 255).astype(np.uint8)
+    return (final, geom) if return_geom else final
 
 
 def make_teacher():
@@ -66,8 +161,23 @@ def make_teacher():
     return get_engine(DEFAULT_FACE_CASCADE, (W, H), 1.25)
 
 
-def label_batch(teacher, scenes: np.ndarray):
-    """Teacher grouped boxes (device) → padded [B, MAX_FACES, 4] + valid."""
+def _iou_np(a, b) -> float:
+    ix = max(0.0, min(a[0] + a[2], b[0] + b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[1] + a[3], b[1] + b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
+
+
+def label_batch(teacher, scenes: np.ndarray, geoms=None):
+    """Teacher grouped boxes (device) → padded [B, MAX_FACES, 4] + valid.
+
+    With ``geoms`` (per-scene drawn-face geometry from
+    make_scene(return_geom=True)): additionally returns IGNORE boxes —
+    drawn faces with no teacher match (IoU < 0.3). The student is
+    neither rewarded nor penalized there (boxes_to_targets marks the
+    covered cells -2): the teacher's texture-conditioned misses carry no
+    information about facehood, and gradient-descending toward them
+    suppresses real faces."""
     boxes, valid, _, _ = teacher.detect_grouped(scenes, 3)
     boxes, valid = np.asarray(boxes), np.asarray(valid)
     B = scenes.shape[0]
@@ -77,7 +187,19 @@ def label_batch(teacher, scenes: np.ndarray):
         kept = boxes[b][valid[b]][:MAX_FACES]
         out[b, :len(kept)] = kept
         out_v[b, :len(kept)] = True
-    return out, out_v
+    if geoms is None:
+        return out, out_v
+    ign = np.zeros((B, MAX_FACES, 4), np.float32)
+    ign_v = np.zeros((B, MAX_FACES), bool)
+    for b in range(B):
+        missed = [f for f in geoms[b]
+                  if not any(_iou_np(f, out[b, j]) >= 0.3
+                             for j in range(MAX_FACES) if out_v[b, j])]
+        missed = missed[:MAX_FACES]
+        if missed:
+            ign[b, :len(missed)] = missed
+            ign_v[b, :len(missed)] = True
+    return out, out_v, ign, ign_v
 
 
 def train(steps: int = 1500, batch: int = 32, seed: int = 0,
@@ -91,23 +213,28 @@ def train(steps: int = 1500, batch: int = 32, seed: int = 0,
 
     rng = np.random.RandomState(seed)
     teacher = make_teacher()
-    params = cnn.init_params(jax.random.PRNGKey(seed))
-    optimizer = cnn.make_optimizer(lr)
+    # ctx=True: the dilated context conv is required for precision on the
+    # textured backgrounds (plain backbone measured 0.497 precision here)
+    params = cnn.init_params(jax.random.PRNGKey(seed), ctx=True)
+    optimizer = cnn.make_optimizer(lr, steps=steps)
     opt_state = optimizer.init(params)
 
     step_jit = jax.jit(
         lambda p, o, g, ot, rt: cnn.train_step(p, o, g, ot, rt,
                                                optimizer=optimizer))
     targets_jit = jax.jit(
-        lambda b, v: cnn.boxes_to_targets(b, v, H, W))
+        lambda b, v, ib, iv: cnn.boxes_to_targets(b, v, H, W, ib, iv))
 
     # data pool of pre-labeled batches, resident on DEVICE (scenes + targets
     # are uploaded once per pool refresh, not per step — the H2D upload per
     # step would otherwise dominate on a tunneled TPU)
     def make_entry():
-        scenes = np.stack([make_scene(rng) for _ in range(batch)])
-        b, v = label_batch(teacher, scenes)
-        obj_t, reg_t = targets_jit(jnp.asarray(b), jnp.asarray(v))
+        pairs = [make_scene(rng, return_geom=True) for _ in range(batch)]
+        scenes = np.stack([p[0] for p in pairs])
+        geoms = [p[1] for p in pairs]
+        b, v, ib, iv = label_batch(teacher, scenes, geoms)
+        obj_t, reg_t = targets_jit(jnp.asarray(b), jnp.asarray(v),
+                                   jnp.asarray(ib), jnp.asarray(iv))
         return jnp.asarray(scenes), obj_t, reg_t
 
     pool = [make_entry() for _ in range(n_pool)]
@@ -143,21 +270,28 @@ def train(steps: int = 1500, batch: int = 32, seed: int = 0,
 
 def evaluate(params, n_scenes: int = 64, seed: int = 123,
              iou_gate: float = 0.5, threshold: float = 0.5):
-    """Recall/precision of the student vs the teacher on held-out scenes."""
+    """Recall/precision of the student vs the teacher on held-out scenes.
+
+    Student boxes landing on an IGNORE region (a drawn face the teacher
+    missed — see label_batch) count neither as TP nor FP: the student
+    finding a face the teacher couldn't is not an error."""
     import jax.numpy as jnp
 
     rng = np.random.RandomState(seed)
     teacher = make_teacher()
     det = cnn.CnnFaceDetector((W, H), params=params, threshold=threshold)
-    scenes = np.stack([make_scene(rng) for _ in range(n_scenes)])
-    t_boxes, t_valid = label_batch(teacher, scenes)
+    pairs = [make_scene(rng, return_geom=True) for _ in range(n_scenes)]
+    scenes = np.stack([p[0] for p in pairs])
+    t_boxes, t_valid, i_boxes, i_valid = label_batch(
+        teacher, scenes, [p[1] for p in pairs])
     s_boxes = det.detect_boxes(jnp.asarray(scenes))
 
     from ..core.boxes import iou
 
-    tp = fn = fp = 0
+    tp = fn = fp = ignored = 0
     for i in range(n_scenes):
         teach = [t_boxes[i, j] for j in range(MAX_FACES) if t_valid[i, j]]
+        ign = [i_boxes[i, j] for j in range(MAX_FACES) if i_valid[i, j]]
         stud = list(s_boxes[i])
         used = set()
         for t in teach:
@@ -173,11 +307,18 @@ def evaluate(params, n_scenes: int = 64, seed: int = 123,
             else:
                 tp += 1
                 used.add(best)
-        fp += len(stud) - len(used)
+        for k, s in enumerate(stud):
+            if k in used:
+                continue
+            if any(iou(g, s) >= 0.3 for g in ign):
+                ignored += 1
+            else:
+                fp += 1
     recall = tp / max(tp + fn, 1)
     precision = tp / max(tp + fp, 1)
     print(f"recall {recall:.3f} precision {precision:.3f} "
-          f"(tp {tp} fn {fn} fp {fp})", flush=True)
+          f"(tp {tp} fn {fn} fp {fp}; {ignored} on teacher-missed faces)",
+          flush=True)
     return recall, precision
 
 

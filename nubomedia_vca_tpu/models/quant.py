@@ -40,6 +40,9 @@ def quantize_params(params: dict) -> dict:
         w = params[f"conv{i}"]["w"]          # [3,3,cin,cout]
         q, s = _quant_weight_per_cout(w, 3)
         out[f"conv{i}"] = {"w_q": q, "w_s": s, "b": params[f"conv{i}"]["b"]}
+    if "ctx" in params:                      # dilated context conv
+        q, s = _quant_weight_per_cout(params["ctx"]["w"], 3)
+        out["ctx"] = {"w_q": q, "w_s": s, "b": params["ctx"]["b"]}
     for name, cout_axis in (("head1", 1), ("head2", 1)):
         w = params[name]["w"]
         q, s = _quant_weight_per_cout(w, cout_axis)
@@ -70,6 +73,17 @@ def forward_int8(qparams: dict, gray: jnp.ndarray) -> jnp.ndarray:
             preferred_element_type=jnp.int32)
         scale = xs * lw["w_s"].reshape(1, 1, 1, -1)
         x = jax.nn.relu(y.astype(jnp.float32) * scale + lw["b"])
+    if "ctx" in qparams:                     # residual dilated context conv
+        lw = qparams["ctx"]
+        xq, xs = _act_quant(x)
+        y = jax.lax.conv_general_dilated(
+            xq.astype(jnp.int8), lw["w_q"],
+            window_strides=(1, 1), padding="SAME",
+            rhs_dilation=(cnn.CTX_DILATION, cnn.CTX_DILATION),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        scale = xs * lw["w_s"].reshape(1, 1, 1, -1)
+        x = x + jax.nn.relu(y.astype(jnp.float32) * scale + lw["b"])
     h1 = qparams["head1"]
     xq, xs = _act_quant(x)
     h = jnp.einsum("bhwc,cd->bhwd", xq.astype(jnp.int8), h1["w_q"],
@@ -89,7 +103,7 @@ class QuantizedCnnFaceDetector(cnn.CnnFaceDetector):
     CnnFaceDetector, device path = forward_int8 over quantized params."""
 
     def __init__(self, frame_size, params=None, checkpoint=None,
-                 threshold: float = 0.5, n_streams: int = 1,
+                 threshold: float | None = None, n_streams: int = 1,
                  multi_scale: bool = False, detect_event: int = 0,
                  process_x_every_4_frames: int = 4):
         super().__init__(frame_size, params=params, checkpoint=checkpoint,

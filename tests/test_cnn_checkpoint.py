@@ -35,7 +35,7 @@ def eval_data():
     d = np.load(path)
     rng = np.random.RandomState(int(d["seed"]))
     scenes = np.stack([distill.make_scene(rng) for _ in range(int(d["n"]))])
-    return scenes, d["boxes"], d["valid"]
+    return scenes, d["boxes"], d["valid"], d["ignore"], d["ignore_valid"]
 
 
 def test_checkpoint_exists():
@@ -43,7 +43,10 @@ def test_checkpoint_exists():
 
 
 def test_checkpoint_recall_precision(eval_data):
-    scenes, t_boxes, t_valid = eval_data
+    """Student boxes on IGNORE regions (drawn faces the cascade teacher
+    missed — the student out-generalizing its teacher) count neither as
+    TP nor FP; see distill.label_batch."""
+    scenes, t_boxes, t_valid, i_boxes, i_valid = eval_data
     det = cnn.CnnFaceDetector((distill.W, distill.H))
     s_boxes = det.detect_boxes(scenes)
 
@@ -51,6 +54,8 @@ def test_checkpoint_recall_precision(eval_data):
     for i in range(scenes.shape[0]):
         teach = [t_boxes[i, j] for j in range(t_boxes.shape[1])
                  if t_valid[i, j]]
+        ign = [i_boxes[i, j] for j in range(i_boxes.shape[1])
+               if i_valid[i, j]]
         stud = list(s_boxes[i])
         used = set()
         for t in teach:
@@ -66,7 +71,9 @@ def test_checkpoint_recall_precision(eval_data):
             else:
                 tp += 1
                 used.add(best)
-        fp += len(stud) - len(used)
+        for k, s in enumerate(stud):
+            if k not in used and not any(_iou(g, s) >= 0.3 for g in ign):
+                fp += 1
     recall = tp / max(tp + fn, 1)
     precision = tp / max(tp + fp, 1)
     assert recall >= RECALL_GATE, (recall, precision, tp, fn, fp)
@@ -78,7 +85,7 @@ def test_checkpoint_in_pipeline(eval_data):
     inference filter of SURVEY.md §7 / VERDICT item 8)."""
     from nubomedia_vca_tpu.pipeline.graph import FilterNode, VcaPipeline
 
-    scenes, t_boxes, t_valid = eval_data
+    scenes, t_boxes, t_valid, _, _ = eval_data
     # pick a scene the teacher found at least one face in
     idx = int(np.argmax(t_valid.sum(axis=1)))
     pipe = VcaPipeline().add(FilterNode(

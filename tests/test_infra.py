@@ -96,6 +96,159 @@ def test_cnn_forward_and_train_step(rng):
                            np.asarray(params["head2"]["w"]))
 
 
+def test_cnn_letterbox_params():
+    """Aspect-preserving inference geometry (cnn.letterbox_params): 4:3
+    frames degenerate to the identity (no behavior change for the
+    synthetic eval), non-4:3 frames scale uniformly and center inside
+    the canvas — the round-3 fix for squashed real portraits and the
+    frame_w-only y mis-scale."""
+    # 4:3: exact fill, no offsets
+    assert cnn.letterbox_params(640, 480, 320, 240) == (320, 240, 0, 0)
+    assert cnn.letterbox_params(320, 240, 320, 240) == (320, 240, 0, 0)
+    # portrait (Grace Hopper is 512×600): height-limited, x-centered
+    rw, rh, ox, oy = cnn.letterbox_params(512, 600, 320, 240)
+    assert rh == 240 and oy == 0 and ox == (320 - rw) // 2
+    assert abs(rw / 512 - rh / 600) < 2 / 512      # uniform scale
+    # wide: width-limited, y-centered
+    rw, rh, ox, oy = cnn.letterbox_params(1280, 720, 320, 240)
+    assert rw == 320 and ox == 0 and rh == 180 and oy == 30
+
+
+def test_cnn_letterbox_box_roundtrip(rng):
+    """detect_boxes maps work-space boxes back through the letterbox:
+    a detector built for a non-4:3 frame applies ONE uniform scale and
+    subtracts the canvas offsets, so x and y land in original pixels."""
+    params = cnn.init_params(jax.random.PRNGKey(0), channels=(8, 8, 8, 8),
+                             head_dim=16)
+    det = cnn.CnnFaceDetector((512, 600), params=params, threshold=-1.0)
+    # threshold -1 → every top-k cell valid
+    gray = rng.randint(0, 256, (600, 512)).astype(np.uint8)
+    got = det.detect_boxes(gray)[0]
+    assert len(got) > 0
+    assert abs(det.scale_back - 512 / det._rw) < 1e-9
+    # x AND y both unmap through the one uniform scale + canvas offsets
+    raw_b, _, raw_v = det._detect_jit(jnp.asarray(gray[None]))
+    raw = np.asarray(raw_b)[0][np.asarray(raw_v)[0]]
+    expect = (raw - np.array([det._ox, det._oy, 0, 0], np.float32)) \
+        * det.scale_back
+    assert np.array_equal(got, np.rint(expect).astype(np.int32))
+
+
+def test_boxes_to_targets_neighborhood():
+    """Target encoding (boxes_to_targets): center cell positive (+1),
+    3×3 ring ignore (-1), everything else negative (0); every supervised
+    cell's regression decodes to the SAME box, so near-miss neighbor
+    detections collapse in NMS instead of surviving as false positives."""
+    box = jnp.asarray([[[64.0, 80.0, 32.0, 48.0]]])   # cx=80, cy=104
+    valid = jnp.asarray([[True]])
+    obj, reg = cnn.boxes_to_targets(box, valid, 160, 160)
+    obj, reg = np.asarray(obj), np.asarray(reg)
+    gx, gy = 80 // 16, 104 // 16
+    assert obj[0, gy, gx] == 1.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy, dx) == (0, 0):
+                continue
+            assert obj[0, gy + dy, gx + dx] == -1.0
+    assert (obj != 0).sum() == 9
+    # every supervised cell decodes to the same box
+    for yy in range(obj.shape[1]):
+        for xx in range(obj.shape[2]):
+            if obj[0, yy, xx] == 0:
+                assert np.all(reg[0, yy, xx] == 0)
+                continue
+            t = reg[0, yy, xx]
+            assert abs((xx + t[0]) * 16 - 80.0) < 1e-4
+            assert abs((yy + t[1]) * 16 - 104.0) < 1e-4
+            assert abs(np.exp(t[2]) * 16 - 32.0) < 1e-3
+            assert abs(np.exp(t[3]) * 16 - 48.0) < 1e-3
+
+
+def test_boxes_to_targets_ignore_boxes():
+    """Ignore boxes (teacher-missed faces, distill.label_batch) mark
+    covered cells -2: no objectness gradient, no regression — and never
+    demote a positive or its ring."""
+    boxes = jnp.asarray([[[64.0, 80.0, 32.0, 48.0]]])
+    valid = jnp.asarray([[True]])
+    ign = jnp.asarray([[[0.0, 0.0, 40.0, 40.0]]])     # top-left corner
+    ign_v = jnp.asarray([[True]])
+    obj, reg = cnn.boxes_to_targets(boxes, valid, 160, 160, ign, ign_v)
+    obj = np.asarray(obj)
+    # cells with centers inside [0,40]² → (0,0)..(2,2) minus face overlap
+    assert obj[0, 0, 0] == -2.0 and obj[0, 2, 2] == -2.0
+    assert (obj == -2).sum() == 9
+    # face center/ring unaffected
+    gx, gy = 80 // 16, 104 // 16
+    assert obj[0, gy, gx] == 1.0 and obj[0, gy - 1, gx - 1] == -1.0
+    # loss accepts the -2 state (pure ignore) and stays finite
+    params = cnn.init_params(jax.random.PRNGKey(0), channels=(4, 4, 4, 4),
+                             head_dim=8)
+    gray = jnp.zeros((1, 160, 160), jnp.uint8)
+    (l_ign, _), _ = jax.value_and_grad(cnn.loss_fn, has_aux=True)(
+        params, gray, obj, reg)
+    assert np.isfinite(float(l_ign))
+
+
+def test_boxes_to_targets_adjacent_faces():
+    """A cell that is the CENTER of one face and a ring-neighbor of
+    another stays positive (+1), and its regression carries its OWN
+    face's box (center scatter wins conflicts)."""
+    boxes = jnp.asarray([[[64.0, 64.0, 32.0, 32.0],     # center (80,80)
+                          [96.0, 64.0, 32.0, 32.0]]])   # center (112,80)
+    valid = jnp.asarray([[True, True]])
+    obj, reg = cnn.boxes_to_targets(boxes, valid, 160, 160)
+    obj, reg = np.asarray(obj), np.asarray(reg)
+    for cx in (80.0, 112.0):
+        gx, gy = int(cx) // 16, 80 // 16
+        assert obj[0, gy, gx] == 1.0
+        t = reg[0, gy, gx]
+        assert abs((gx + t[0]) * 16 - cx) < 1e-4
+
+
+def test_cnn_ctx_conv(rng):
+    """The dilated context conv (init_params ctx=True): widens the
+    receptive field (a far-away pixel change must reach the output only
+    WITH ctx), applies residually, and no-ops for ctx-less checkpoints."""
+    gray = jnp.asarray(rng.randint(0, 256, (1, 256, 256)).astype(np.uint8))
+    far = np.asarray(gray).copy()
+    far[0, 136, 136] ^= 0x7f        # grid cell (8,8): 64 px / 4 cells from
+    #                                 the probed cell — exactly ctx's reach
+    plain = cnn.init_params(jax.random.PRNGKey(0), channels=(8, 8, 8, 8),
+                            head_dim=16)
+    ctx = cnn.init_params(jax.random.PRNGKey(0), channels=(8, 8, 8, 8),
+                          head_dim=16, ctx=True)
+    assert "ctx" in ctx and "ctx" not in plain
+    # apply_ctx is the identity without a ctx entry
+    feats = cnn.backbone(plain, gray)
+    assert np.array_equal(np.asarray(cnn.apply_ctx(plain, feats)),
+                          np.asarray(feats))
+    cell = (0, 12, 12)              # grid cell at pixel ~(192, 192)
+    d_plain = (cnn.forward(plain, jnp.asarray(far)) -
+               cnn.forward(plain, gray))[cell]
+    d_ctx = (cnn.forward(ctx, jnp.asarray(far)) -
+             cnn.forward(ctx, gray))[cell]
+    # stride-16 grid, 3x3 convs: plain RF ~31 px — the 64 px-away probe
+    # pixel cannot influence the cell; ctx (dil-4 on the grid) can reach it
+    assert float(jnp.abs(d_plain).max()) == 0.0
+    assert float(jnp.abs(d_ctx).max()) > 0.0
+
+
+def test_cnn_ctx_int8_matches_f32(rng):
+    """forward_int8 with a ctx entry follows cnn.forward within
+    quantization tolerance (the int8 serving path covers the shipped
+    ctx architecture)."""
+    from nubomedia_vca_tpu.models import quant
+
+    params = cnn.init_params(jax.random.PRNGKey(2), channels=(8, 8, 8, 8),
+                             head_dim=16, ctx=True)
+    gray = jnp.asarray(rng.randint(0, 256, (2, 64, 64)).astype(np.uint8))
+    f32 = np.asarray(cnn.forward(params, gray), np.float32)
+    i8 = np.asarray(quant.forward_int8(quant.quantize_params(params), gray))
+    # fresh random params produce small outputs; scale-aware tolerance
+    tol = 0.05 * max(float(np.abs(f32).max()), 1e-3) + 0.02
+    assert np.abs(i8 - f32).max() <= tol, float(np.abs(i8 - f32).max())
+
+
 def test_cnn_loss_decreases(rng):
     params = cnn.init_params(jax.random.PRNGKey(1), channels=(8, 8, 8, 8),
                              head_dim=16)

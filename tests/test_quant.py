@@ -57,6 +57,8 @@ def test_int8_detector_accuracy_vs_teacher():
     for i in range(int(d["n"])):
         teach = [d["boxes"][i, j] for j in range(d["boxes"].shape[1])
                  if d["valid"][i, j]]
+        ign = [d["ignore"][i, j] for j in range(d["ignore"].shape[1])
+               if d["ignore_valid"][i, j]]
         stud = list(s_boxes[i])
         used = set()
         for t in teach:
@@ -72,7 +74,10 @@ def test_int8_detector_accuracy_vs_teacher():
             else:
                 tp += 1
                 used.add(best)
-        fp += len(stud) - len(used)
+        for k, s in enumerate(stud):
+            # boxes on teacher-missed drawn faces are neither TP nor FP
+            if k not in used and not any(iou(g, s) >= 0.3 for g in ign):
+                fp += 1
     recall = tp / max(tp + fn, 1)
     precision = tp / max(tp + fp, 1)
     assert recall >= 0.90, (recall, precision, tp, fn, fp)

@@ -38,12 +38,16 @@ def main(argv=None):
     from nubomedia_vca_tpu.models import distill
 
     rng = np.random.RandomState(ns.seed)
-    scenes = np.stack([distill.make_scene(rng) for _ in range(ns.n)])
+    pairs = [distill.make_scene(rng, return_geom=True) for _ in range(ns.n)]
+    scenes = np.stack([p[0] for p in pairs])
     teacher = distill.make_teacher()
-    boxes, valid = distill.label_batch(teacher, scenes)
-    np.savez(ns.out, seed=ns.seed, n=ns.n, boxes=boxes, valid=valid)
-    print(f"saved {ns.out}: {int(valid.sum())} teacher boxes over "
-          f"{ns.n} scenes (seed {ns.seed})")
+    boxes, valid, ign, ign_valid = distill.label_batch(
+        teacher, scenes, [p[1] for p in pairs])
+    np.savez(ns.out, seed=ns.seed, n=ns.n, boxes=boxes, valid=valid,
+             ignore=ign, ignore_valid=ign_valid)
+    print(f"saved {ns.out}: {int(valid.sum())} teacher boxes, "
+          f"{int(ign_valid.sum())} ignore regions (teacher-missed drawn "
+          f"faces) over {ns.n} scenes (seed {ns.seed})")
     return 0
 
 

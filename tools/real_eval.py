@@ -51,18 +51,21 @@ def _load_gray(path_or_array):
 
 
 def _builtin_images():
-    """Real photographs available offline: scikit-learn's sample images
-    (china.jpg, flower.jpg — natural scenes, no human faces). sklearn
-    decodes to RGB; flip to BGR so _load_gray's BGR luma weights match
-    what the production BGR ingest path would produce."""
-    from sklearn.datasets import load_sample_images
+    """Real photographs available offline (utils/offline_images.py):
+    grace_hopper.jpg — a real frontal FACE portrait (real-face recall) —
+    plus scikit-learn's china.jpg/flower.jpg (face-free natural scenes:
+    false-positive rate on real texture). All BGR so _load_gray's luma
+    weights match the production BGR ingest path."""
+    from nubomedia_vca_tpu.utils.offline_images import offline_photos
 
-    ds = load_sample_images()
-    return [(name, img[..., ::-1]) for name, img in
-            zip(ds.filenames, ds.images)]
+    photos = offline_photos()
+    if not photos:
+        raise SystemExit("no offline photographs found (matplotlib and "
+                         "scikit-learn sample data both absent)")
+    return [(p.name, p.bgr) for p in photos]
 
 
-def evaluate(images, multi_scale=False, quantized=False, threshold=0.5,
+def evaluate(images, multi_scale=False, quantized=False, threshold=None,
              iou_gate=0.5):
     from nubomedia_vca_tpu.cascade.engine import get_engine
     from nubomedia_vca_tpu.models.face import DEFAULT_FACE_CASCADE
@@ -162,8 +165,9 @@ def main(argv=None):
                     help="evaluate the one-pass multi-part detector's "
                          "per-class FP counts instead of the face model")
     ap.add_argument("--threshold", type=float, default=None,
-                    help="objectness threshold (default 0.5 face / the "
-                         "per-class operating points for --parts)")
+                    help="objectness threshold (default: the measured "
+                         "serving operating points — cnn.SERVING_THRESHOLD "
+                         "for the face model, per-class for --parts)")
     ap.add_argument("--tpu", action="store_true")
     ns = ap.parse_args(argv)
     if not ns.tpu:
@@ -183,7 +187,7 @@ def main(argv=None):
     if ns.parts:
         evaluate_parts(images, threshold=ns.threshold)
     else:
-        evaluate(images, ns.multi_scale, ns.quantized, ns.threshold or 0.5)
+        evaluate(images, ns.multi_scale, ns.quantized, ns.threshold)
     return 0
 
 
