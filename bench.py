@@ -1,12 +1,20 @@
 """Benchmarks: batched 720p face detection on one chip.
 
 Prints one JSON line per config ({"metric","value","unit","vs_baseline"}),
-HEADLINE LAST. Each phase runs in its own subprocess: on the axon-tunnel
-TPU harness, a single device→host transfer permanently degrades every
-subsequent dispatch in that process to synchronous tunnel round-trips
-(measured: 2.9M fps clean → 67 fps after one D2H; the 59 MB frame batch
-re-uploads through a ~62 MB/s tunnel each dispatch). Phase isolation keeps
-each number clean; on a local-PCIe TPU host none of this applies.
+streamed the moment each phase finishes, with the key metrics re-printed
+at the end (HEADLINE LAST) for last-line tail parsers. The whole run
+respects a global wall-clock budget (env VCA_BENCH_BUDGET_S, default
+2400 s): phases that don't fit are skipped with a stderr notice, so a
+driver-side kill can never erase already-measured phases (round 3's
+record was lost exactly that way — rc=124, empty tail). A compile-cache
+warmup runs first (skip with VCA_BENCH_NO_WARMUP=1).
+
+Each phase runs in its own subprocess: on the axon-tunnel TPU harness, a
+single device→host transfer permanently degrades every subsequent
+dispatch in that process to synchronous tunnel round-trips (measured:
+2.9M fps clean → 67 fps after one D2H; the 59 MB frame batch re-uploads
+through a ~62 MB/s tunnel each dispatch). Phase isolation keeps each
+number clean; on a local-PCIe TPU host none of this applies.
 
 Configs:
   * device_path_720p_fps    — resize→equalize→cascade, raw candidates
@@ -41,6 +49,7 @@ vs_baseline is the ratio against the north star of 1000 fps/chip
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -622,20 +631,66 @@ PHASES = {
     "chain": phase_chain,
 }
 
-# EXECUTION order: the headline (grouped) runs FIRST — the tunnel harness
-# enters a lasting degraded-execution mode after heavy D2H traffic (the
-# e2e/latency/chain phases all read detections back), and that mode
-# persists across processes, so a last-run grouped phase measures the
-# degraded tunnel, not the device (observed 455K fps vs 1.16M fresh).
-# DISPLAY order still puts grouped's JSON last for drivers that keep only
-# the final stdout line.
-PHASE_EXEC_ORDER = ["grouped", "raw", "latency", "e2e_fullres", "e2e",
-                    "feeder", "cnn", "chain"]
-PHASE_ORDER = ["raw", "latency", "e2e_fullres", "e2e", "feeder", "cnn",
-               "chain", "grouped"]
-# chain cold-compiles five sf=1.1 part engines (hundreds of per-level
-# programs through the remote compiler) — needs more than the default cap
-PHASE_TIMEOUTS = {"chain": 5400}
+# EXECUTION order serves two masters:
+#   * tunnel cleanliness — the harness enters a lasting degraded-execution
+#     mode after heavy D2H traffic (latency/e2e read batches of detections
+#     back) and that mode persists across processes (observed 455K fps vs
+#     1.16M fresh), so all pure-throughput phases (grouped/raw/cnn/chain,
+#     which defer readback to a single end-of-phase canary) run BEFORE any
+#     readback-heavy phase;
+#   * budget priority — round 3's entire record was lost to a driver
+#     timeout because main() buffered everything (VERDICT r3 item 1), so
+#     the phases whose metrics matter most (headline, cnn, chain, the
+#     north-star e2e) come first and stream their JSON the moment they
+#     finish; if the global budget runs out, the tail still holds them.
+PHASE_EXEC_ORDER = ["grouped", "raw", "cnn", "chain", "latency", "e2e",
+                    "e2e_fullres", "feeder"]
+# per-phase subprocess timeouts, sized to fit the DEFAULT_BUDGET_S global
+# budget (each is also clamped to the remaining budget at launch time)
+PHASE_TIMEOUTS = {
+    "grouped": 900, "raw": 300, "cnn": 480, "chain": 900,
+    "latency": 240, "e2e": 600, "e2e_fullres": 240, "feeder": 240,
+}
+# don't even start a phase with less budget left than it plausibly needs
+# (chain compiles five part engines on a cold cache; the rest are cheap)
+PHASE_MIN_S = {"chain": 420, "grouped": 180, "e2e": 180}
+DEFAULT_BUDGET_S = 2400.0
+
+
+def _headline_lines(outputs):
+    """The lines tail-parsers must see LAST: the grouped-phase headline
+    (face_detect_720p_fps_per_chip), falling back to any captured metric."""
+    keys = ["face_detect_720p_fps_per_chip", "hbm_gbps_est",
+            "haar_chain_720p_fps_per_chip", "e2e_hostloop_fps",
+            "cnn_parts_720p_fps"]
+    picked = {}
+    for text in outputs.values():
+        for ln in text.splitlines():
+            for k in keys:
+                if f'"{k}"' in ln:
+                    picked[k] = ln
+    # headline metric printed last of all
+    return [picked[k] for k in reversed(keys) if k in picked]
+
+
+def _run_warmup(remaining_s: float) -> None:
+    """Populate the persistent compile cache before any timing phase so
+    samples measure execution, not the remote compiler (VERDICT r3 item 1;
+    idempotent and fast — seconds — when the cache is already warm)."""
+    if os.environ.get("VCA_BENCH_NO_WARMUP"):
+        return
+    tmo = min(900.0, max(60.0, remaining_s * 0.3))
+    t0 = time.monotonic()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "nubomedia_vca_tpu", "warmup"],
+            capture_output=True, text=True, timeout=tmo,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        status = f"rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        status = f"timed out at {tmo:.0f}s (cache partially warmed)"
+    print(f"bench: warmup {status} in {time.monotonic() - t0:.0f}s",
+          file=sys.stderr)
 
 
 def main():
@@ -645,27 +700,44 @@ def main():
         PHASES[args[1]](B)
         return
     B = int(args[0]) if args else 64
+    budget = float(os.environ.get("VCA_BENCH_BUDGET_S", DEFAULT_BUDGET_S))
+    t_start = time.monotonic()
+    remaining = lambda: budget - (time.monotonic() - t_start)  # noqa: E731
+    _run_warmup(remaining())
     outputs: dict[str, str] = {}
     for name in PHASE_EXEC_ORDER:
+        left = remaining()
+        if left < PHASE_MIN_S.get(name, 120):
+            print(f"bench: {left:.0f}s of {budget:.0f}s budget left — "
+                  f"skipping {name} and later phases", file=sys.stderr)
+            break
+        tmo = min(PHASE_TIMEOUTS.get(name, 600), max(60.0, left - 15))
+        t0 = time.monotonic()
         # a phase that hangs (tunnel congestion) must not take the
         # remaining phases down with it — especially not the headline
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--phase", name, str(B)],
-                capture_output=True, text=True,
-                timeout=PHASE_TIMEOUTS.get(name, 2400))
+                capture_output=True, text=True, timeout=tmo)
+            out, rc = r.stdout, r.returncode
+            if rc != 0:
+                print(f"phase {name} failed:\n{r.stderr[-2000:]}",
+                      file=sys.stderr)
         except subprocess.TimeoutExpired as e:
-            out = e.stdout or b""
-            outputs[name] = out.decode() if isinstance(out, bytes) else out
-            print(f"phase {name} timed out after {e.timeout}s",
+            raw = e.stdout or b""
+            out, rc = (raw.decode() if isinstance(raw, bytes) else raw), -1
+            print(f"phase {name} timed out after {e.timeout:.0f}s",
                   file=sys.stderr)
-            continue
-        outputs[name] = r.stdout
-        if r.returncode != 0:
-            print(f"phase {name} failed:\n{r.stderr[-2000:]}",
-                  file=sys.stderr)
-    for name in PHASE_ORDER:
-        sys.stdout.write(outputs.get(name, ""))
+        outputs[name] = out
+        # stream this phase's metrics IMMEDIATELY — evidence must survive
+        # an outer kill no matter which later phase detonates
+        sys.stdout.write(out)
+        sys.stdout.flush()
+        print(f"bench: phase {name} done in {time.monotonic() - t0:.0f}s "
+              f"({remaining():.0f}s budget left)", file=sys.stderr)
+    # re-print the key metrics, headline LAST, for last-line tail parsers
+    for ln in _headline_lines(outputs):
+        print(ln)
     sys.stdout.flush()
 
 

@@ -89,11 +89,16 @@ class MediaRunner:
         kmsfacedetect.cpp:857-898), GRAY8 in/out otherwise.
         downscale=True downscales frames to the elements' common working
         resolution at ingest (full-resolution frames never cross
-        host→device) — mutually exclusive with output, which needs full
-        frames to draw on."""
-        if output and downscale:
-            raise ValueError("output rendering needs full-resolution "
-                             "frames; downscale must stay off")
+        host→device). Combined output+downscale (color listeners only)
+        detects from the work-res luma and draws host-side on the
+        retained full-res BGR frame — the reference's exact shape: detect
+        on the downscaled copy, annotate img_orig
+        (kmsfacedetect.cpp:805,832-850)."""
+        if output and downscale and channels not in (3, 4):
+            raise ValueError(
+                "output+downscale needs a color listener (channels 3/4): "
+                "only work-res luma is kept on the gray path, so there is "
+                "no full-res frame to annotate")
         if self.port is not None:
             raise OSError("runner is already listening on port "
                           f"{self.port}")
@@ -235,22 +240,30 @@ class MediaRunner:
                 traceback.print_exc()
         self.frames_processed += len(frames)
         if self.output or self.on_annotated is not None:
+            # detect-downscaled mode: the full-res canvas exists only
+            # host-side (retained BGR) — draw with the bit-identical numpy
+            # twins instead of shipping 3-channel frames to the device
+            host = self._downscale_res is not None and color is not None
             self._emit_annotated(color if color is not None else frames,
-                                 rendered, stream)
+                                 rendered, stream, host=host)
 
-    def _emit_annotated(self, frames, rendered, stream: int) -> None:
+    def _emit_annotated(self, frames, rendered, stream: int,
+                        host: bool = False) -> None:
         """Draw every view-enabled element's detections in registration
         order (each reference element draws in place as the frame passes
         through it) and return the result to the stream — BGR when the
         listener retains color (the reference's product is the annotated
-        COLOR stream), GRAY8 otherwise."""
+        COLOR stream), GRAY8 otherwise. host=True keeps the whole chain in
+        numpy (detection boxes are tiny host data; the reference draws on
+        the CPU too, kmsfacedetect.cpp:832-850)."""
         color_mode = getattr(frames, "ndim", 3) == 4
-        # the batch stays a DEVICE array across the whole render chain
-        # (each el.render is a pure device op); one host transfer at the end
+        # device mode: the batch stays a DEVICE array across the whole
+        # render chain (each el.render is a pure device op); one host
+        # transfer at the end. host mode: numpy end to end.
         out = frames
         for el, res in rendered:
             try:
-                out = el.render(out, res)
+                out = el.render(out, res, host=host)
             except Exception:  # noqa: BLE001
                 import traceback
                 traceback.print_exc()

@@ -58,11 +58,15 @@ class MediaPipeline:
         WebRTC/RTP-decode stand-in; see api/media_loop.py). Returns the
         bound port; push W*H(*channels) bytes per frame per connection.
 
-        output=1: annotated GRAY8 frames are written back on each stream's
-        connection (the reference's annotated-stream product).
+        output=1: annotated frames are written back on each stream's
+        connection (the reference's annotated-stream product; BGR for
+        channels 3/4, GRAY8 otherwise).
         downscale=1: frames are downscaled to the elements' working
         resolution at ingest (H2D traffic cut ~(W/work_w)^2×; requires all
-        elements to share one working resolution, excludes output=1)."""
+        elements to share one working resolution). Combined
+        output=1+downscale=1 needs a color listener: detection runs on the
+        work-res luma, annotations are drawn host-side on the retained
+        full-res BGR frame (kmsfacedetect.cpp:805,832-850)."""
         from .media_loop import MediaRunner
         if self._runner is None:
             self._runner = MediaRunner(self)
@@ -200,9 +204,13 @@ class _FilterObject:
     def _view_enabled(self) -> bool:
         return bool(getattr(self._config, "view", 1))
 
-    def render(self, frames, results, fetch=None):
+    def render(self, frames, results, fetch=None, host=False):
         """Draw detections (and the costume overlay, when set) onto frames —
-        the reference's in-place view path, as a pure device op."""
+        the reference's in-place view path, as a pure device op. host=True
+        uses the bit-identical numpy twins instead (the serving loop's
+        detect-downscaled mode draws on the retained full-res frame
+        host-side, like the reference's CPU draw on img_orig,
+        kmsfacedetect.cpp:832-850)."""
         from .render import render_detections, load_overlay_image
         if not self._view_enabled():
             return frames
@@ -218,7 +226,7 @@ class _FilterObject:
             # (BaseFace.cpp:70-82, kmsfacedetect.cpp:144-151)
             kw["color"] = self.RENDER_COLOR
         return render_detections(frames, rects, mode=self.RENDER_MODE,
-                                 overlay=overlay, **kw)
+                                 overlay=overlay, host=host, **kw)
 
     RENDER_MODE = "rect"
     RENDER_COLOR = (255, 128, 0)

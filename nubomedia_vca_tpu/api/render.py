@@ -16,7 +16,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.boxes import pad_boxes
-from ..ops.drawing import draw_rectangles, draw_circles, blend_overlay_image
+from ..ops.drawing import (draw_rectangles, draw_circles,
+                           blend_overlay_image, draw_rectangles_np,
+                           draw_circles_np, blend_overlay_image_np)
 
 
 def _default_fetch(url: str, timeout: float = 10.0) -> bytes:
@@ -55,15 +57,17 @@ def load_overlay_image(uri: str, fetch=None) -> np.ndarray:
 
 
 def render_detections(frames, rects_per_frame, mode="rect",
-                      overlay=None, color=(0, 255, 0), capacity=32):
+                      overlay=None, color=(0, 255, 0), capacity=32,
+                      host=False):
     """frames [B,H,W] or [B,H,W,3] uint8 + per-frame rect lists → rendered
     frames (device). mode: 'rect' | 'circle'; overlay: (rgba image, offsets
-    tuple) activates costume blending like setOverlayedImage."""
-    frames = jnp.asarray(frames)
+    tuple) activates costume blending like setOverlayedImage.
+
+    host=True draws with the bit-identical numpy twins (ops/drawing.py) and
+    returns numpy — the serving loop's detect-downscaled mode, where the
+    full-res annotation canvas lives host-side only."""
+    frames = np.asarray(frames) if host else jnp.asarray(frames)
     squeeze = False
-    if frames.ndim == 2 or (frames.ndim == 3 and frames.shape[-1] in (3, 4)
-                            and len(rects_per_frame) == 1):
-        pass
     if frames.ndim == 2:
         frames = frames[None]
         squeeze = True
@@ -74,16 +78,21 @@ def render_detections(frames, rects_per_frame, mode="rect",
         b, v = pad_boxes(np.asarray([r[:4] for r in rects], np.int32)
                          .reshape(-1, 4), capacity)
         boxes[i], valid[i] = b, v
-    boxes = jnp.asarray(boxes)
-    valid = jnp.asarray(valid)
+    if not host:
+        boxes = jnp.asarray(boxes)
+        valid = jnp.asarray(valid)
     if overlay is not None:
         rgba, (ox, oy, wp, hp) = overlay
         if frames.ndim == 3:   # gray frames can't take a color costume
-            frames = jnp.stack([frames] * 3, axis=-1)
-        out = blend_overlay_image(frames, jnp.asarray(rgba), boxes, valid,
-                                  ox, oy, wp, hp)
+            stack = np.stack if host else jnp.stack
+            frames = stack([frames] * 3, axis=-1)
+        blend = blend_overlay_image_np if host else blend_overlay_image
+        out = blend(frames, rgba if host else jnp.asarray(rgba),
+                    boxes, valid, ox, oy, wp, hp)
     elif mode == "circle":
-        out = draw_circles(frames, boxes, valid, color)
+        out = (draw_circles_np if host else draw_circles)(
+            frames, boxes, valid, color)
     else:
-        out = draw_rectangles(frames, boxes, valid, color)
+        out = (draw_rectangles_np if host else draw_rectangles)(
+            frames, boxes, valid, color)
     return out[0] if squeeze else out

@@ -306,9 +306,13 @@ int vca_ingest_push(void* p, int stream, const uint8_t* data, int stride,
     std::lock_guard<std::mutex> lk(h->mu);
     wt = h->work;
   }
-  if (h->retain_color && channels >= 3 && !wt) {
-    // tight BGR copy (alpha stripped); retain is full-resolution only
-    // (the downscale path exists precisely so color never crosses H2D)
+  if (h->retain_color && channels >= 3) {
+    // tight BGR copy (alpha stripped), always FULL resolution — with a
+    // work downscale set this is the host-side annotation canvas (the
+    // media loop detects from the downscaled luma and draws on the
+    // retained color frame host-side, matching the reference's
+    // detect-downscaled / draw-full-res shape, kmsfacedetect.cpp:805,
+    // 832-850); the retained copy never crosses H2D
     s.color.resize(static_cast<size_t>(w) * ht * 3);
     for (int y = 0; y < ht; y++) {
       const uint8_t* row = data + static_cast<size_t>(y) * stride;
@@ -420,8 +424,9 @@ void vca_ingest_set_retain_color(void* p, int on) {
 
 // collect() variant that also drains the retained BGR copies into
 // color_out[B,H,W,3]; slots without one (gray/I420 pushes, retain off at
-// push time) zero-fill their color frame. Work-resolution mode is
-// incompatible with retention, so frames are full-size here.
+// push time) zero-fill their color frame. The gray plane follows the work
+// resolution when a downscale is set (like vca_ingest_collect); the color
+// plane is ALWAYS full resolution — it is the host-side annotation canvas.
 int vca_ingest_collect_color(void* p, uint8_t* out, uint8_t* color_out,
                              int64_t* pts_out, int32_t* stream_out,
                              int max_frames, int min_frames, int wait_ms) {
@@ -435,21 +440,24 @@ int vca_ingest_collect_color(void* p, uint8_t* out, uint8_t* color_out,
   } else if (wait_ms > 0 && !have()) {
     h->cv.wait_for(lk, std::chrono::milliseconds(wait_ms), have);
   }
-  const size_t frame_sz = static_cast<size_t>(h->width) * h->height;
+  const size_t gray_sz =
+      h->work ? static_cast<size_t>(h->work->w) * h->work->h
+              : static_cast<size_t>(h->width) * h->height;
+  const size_t color_sz = static_cast<size_t>(h->width) * h->height;
   int n = 0;
   while (n < max_frames && !h->ready.empty()) {
     Slot& s = h->ready.front();
-    if (s.gray.size() != frame_sz) {
+    if (s.gray.size() != gray_sz) {
       h->ready.pop_front();
       h->dropped++;
       continue;
     }
-    std::memcpy(out + n * frame_sz, s.gray.data(), frame_sz);
-    if (s.color.size() == frame_sz * 3) {
-      std::memcpy(color_out + n * frame_sz * 3, s.color.data(),
-                  frame_sz * 3);
+    std::memcpy(out + n * gray_sz, s.gray.data(), gray_sz);
+    if (s.color.size() == color_sz * 3) {
+      std::memcpy(color_out + n * color_sz * 3, s.color.data(),
+                  color_sz * 3);
     } else {
-      std::memset(color_out + n * frame_sz * 3, 0, frame_sz * 3);
+      std::memset(color_out + n * color_sz * 3, 0, color_sz * 3);
     }
     pts_out[n] = s.pts;
     stream_out[n] = s.stream;

@@ -116,17 +116,21 @@ class NativeIngest:
         return out[:n], pts[:n], streams[:n]
 
     def set_retain_color(self, on: bool) -> None:
-        """Retain a tight BGR copy of each color push so the media loop can
-        draw on the COLOR frame (the reference annotates the color frame in
-        place, kmsfacedetect.cpp:857-898). Full-resolution pushes only —
-        mutually exclusive with set_work downscale."""
+        """Retain a tight FULL-RESOLUTION BGR copy of each color push so
+        the media loop can draw on the COLOR frame (the reference annotates
+        the color frame in place, kmsfacedetect.cpp:857-898). Composes with
+        set_work downscale: detection then runs on work-res luma while the
+        retained full-res frame is the host-side annotation canvas
+        (detect-downscaled + draw-full-res, kmsfacedetect.cpp:805,832-850)."""
         _LIB.vca_ingest_set_retain_color(self._h, int(bool(on)))
 
     def collect_color(self, max_frames: int, min_frames: int = 1,
                       wait_ms: int = 0):
         """collect() + the retained BGR frames [B,H,W,3] (zero-filled for
-        gray/I420 pushes or pushes made before retention was enabled)."""
-        out = np.empty((max_frames, self.h, self.w), np.uint8)
+        gray/I420 pushes or pushes made before retention was enabled).
+        The gray plane follows the work resolution when set_work is active;
+        the color plane is always full resolution."""
+        out = np.empty((max_frames, self.out_h, self.out_w), np.uint8)
         color = np.empty((max_frames, self.h, self.w, 3), np.uint8)
         pts = np.empty(max_frames, np.int64)
         streams = np.empty(max_frames, np.int32)
@@ -252,8 +256,8 @@ class PythonIngest:
         if frame.ndim == 3:
             from ..ops.color import bgr_to_gray
             import jax.numpy as jnp
-            at_full = (self.out_w, self.out_h) == (self.w, self.h)
-            if self._retain_color and at_full:
+            if self._retain_color:
+                # full-res BGR canvas, kept even when downscaling the luma
                 color = np.ascontiguousarray(frame[..., :3], np.uint8)
             frame = np.asarray(bgr_to_gray(jnp.asarray(frame[..., :3])))
         if (self.out_w, self.out_h) != (self.w, self.h):
@@ -288,10 +292,11 @@ class PythonIngest:
 
     def collect_color(self, max_frames: int, min_frames: int = 1,
                       wait_ms: int = 0):
-        """collect() + retained BGR frames (zeros when not retained)."""
+        """collect() + retained full-res BGR frames (zeros when not
+        retained); gray plane follows the work resolution when set."""
         frames, colors, pts, streams = self._drain(max_frames)
         if not frames:
-            return (np.empty((0, self.h, self.w), np.uint8),
+            return (np.empty((0, self.out_h, self.out_w), np.uint8),
                     np.empty((0, self.h, self.w, 3), np.uint8),
                     np.empty(0, np.int64), np.empty(0, np.int32))
         color = np.stack([
