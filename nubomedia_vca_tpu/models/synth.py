@@ -168,14 +168,49 @@ def _rects_overlap(a, b):
                 or ay + ah <= by or by + bh <= ay)
 
 
-def make_samplers(part: str, window=(20, 20)):
+def make_texture_sampler(window=(20, 20)):
+    """negative_sampler(n, rng) drawing crops from the round-3 texture
+    families (models/textures.py — bokeh/rosette/terrain/patchwork and the
+    base kinds): the hard-negative distribution that exposed the CNN's
+    texture brittleness on real photos (BASELINE.md round 3). Used both to
+    texture-harden the trained part cascades (mixed into make_samplers'
+    negatives) and as the textured holdout the trainer reports FP on."""
+    from .textures import _KINDS, _FACE_EXTRA_KINDS, textured_bg
+
+    kinds = _KINDS + _FACE_EXTRA_KINDS
+
+    def texture_negatives(n, rng):
+        out = []
+        while len(out) < n:
+            img = textured_bg(rng, 320, 240, kinds=kinds, patchwork=True)
+            for _ in range(30):
+                if len(out) >= n:
+                    break
+                sz = int(rng.randint(12, 200))
+                box = (int(rng.randint(0, max(1, 320 - sz))),
+                       int(rng.randint(0, max(1, 240 - sz))), sz, sz)
+                crop = _jitter_crop(img, box, rng, window, 0.0, 0.0)
+                if crop is not None and crop.std() > 11:
+                    out.append(crop)
+        return np.stack(out)
+
+    return texture_negatives
+
+
+def make_samplers(part: str, window=(20, 20),
+                  texture_neg_frac: float = 0.3):
     """(positive_sampler(n, rng), negative_sampler(n, rng)) for
     part ∈ {'nose', 'ear', 'profile'}. Negatives are crops of everything
     that is NOT the part — other face parts, face edges, background — the
-    discrimination the detection pipeline actually needs."""
+    discrimination the detection pipeline actually needs; a
+    texture_neg_frac share comes from the round-3 texture families
+    (make_texture_sampler) so the trained cascades stay quiet on real
+    high-frequency texture, the same lesson the CNN's texture-robustness
+    retrain applied (VERDICT r3 item 5)."""
 
     scene_fn = _frontal_scene if part == "nose" else _profile_scene
     pos_key = {"nose": "nose", "ear": "ear", "profile": "head"}[part]
+    texture_negatives = make_texture_sampler(window)
 
     def positives(n, rng):
         out = []
@@ -187,7 +222,8 @@ def make_samplers(part: str, window=(20, 20)):
         return np.stack(out)
 
     def negatives(n, rng):
-        out = []
+        n_tex = int(round(n * texture_neg_frac))
+        out = list(texture_negatives(n_tex, rng)) if n_tex else []
         while len(out) < n:
             img, geo = scene_fn(rng)
             avoid = geo[pos_key]
@@ -227,6 +263,8 @@ def make_samplers(part: str, window=(20, 20)):
                 crop = _jitter_crop(img, box, rng, window, 0.0, 0.0)
                 if crop is not None and crop.std() > 11:
                     out.append(crop)
-        return np.stack(out)
+        out = np.stack(out[:n])
+        rng.shuffle(out)   # mix texture and scene negatives across batches
+        return out
 
     return positives, negatives
