@@ -676,14 +676,24 @@ def _headline_lines(outputs):
 def _run_warmup(remaining_s: float) -> None:
     """Populate the persistent compile cache before any timing phase so
     samples measure execution, not the remote compiler (VERDICT r3 item 1;
-    idempotent and fast — seconds — when the cache is already warm)."""
+    idempotent and fast — seconds — when the cache is already warm).
+
+    Warm the BENCH shapes (720p, batch B=64, the filters the phases
+    construct) — the CLI's defaults (640x480, batches 1/8) warm programs
+    no phase ever runs, which is how round-4's first runs still hit cold
+    compiles inside phase timeouts. The phases' own outer-jit step
+    programs (step_raw/step_grouped/parts_step) can only be warmed by the
+    phases themselves; their executables persist in the same cache, so
+    one completed run makes every later run warm."""
     if os.environ.get("VCA_BENCH_NO_WARMUP"):
         return
     tmo = min(900.0, max(60.0, remaining_s * 0.3))
     t0 = time.monotonic()
     try:
         r = subprocess.run(
-            [sys.executable, "-m", "nubomedia_vca_tpu", "warmup"],
+            [sys.executable, "-m", "nubomedia_vca_tpu", "warmup",
+             "--size", f"{W}x{H}", "--batches", "64",
+             "--warm-filters", "face,eye,mouth,nose,cnn,parts"],
             capture_output=True, text=True, timeout=tmo,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         status = f"rc={r.returncode}"
@@ -711,7 +721,11 @@ def main():
             print(f"bench: {left:.0f}s of {budget:.0f}s budget left — "
                   f"skipping {name} and later phases", file=sys.stderr)
             break
-        tmo = min(PHASE_TIMEOUTS.get(name, 600), max(60.0, left - 15))
+        # VCA_BENCH_PHASE_TMO_SCALE > 1 for cache-warming runs where cold
+        # compiles may exceed the steady-state phase budgets
+        scale = float(os.environ.get("VCA_BENCH_PHASE_TMO_SCALE", "1"))
+        tmo = min(PHASE_TIMEOUTS.get(name, 600) * scale,
+                  max(60.0, left - 15))
         t0 = time.monotonic()
         # a phase that hangs (tunnel congestion) must not take the
         # remaining phases down with it — especially not the headline

@@ -21,7 +21,7 @@ Layout (mirrors SURVEY.md §7 build plan):
   cpp/       native host components (frame ingest, XML parse) with py fallback
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def cache_dir_for_platforms(plats: str) -> str:

@@ -123,7 +123,7 @@ def _warmup(ns) -> int:
         for eng in engines:
             for b in batches:
                 eng.warmup(batch_size=b)
-        if name in ("face", "cnn", "tracker"):
+        if name in ("face", "cnn", "tracker", "parts"):
             # full model path incl. device grouping / NMS / MHI compiles
             for b in batches:
                 model.process(np.zeros((b, H, W), np.uint8))
