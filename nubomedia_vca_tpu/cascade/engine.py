@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 
 import numpy as np
 import jax
@@ -713,7 +714,20 @@ class CascadeEngine:
                 self._level_jits[item] = fn
             try:
                 outs.append(fn(gray))
-            except Exception:  # noqa: BLE001 — Pallas lowering failure
+            except Exception as e:  # noqa: BLE001 — Pallas lowering failure
+                msg = str(e)
+                if ("remote_compile" in msg or "INTERNAL" in msg
+                        or "UNAVAILABLE" in msg):
+                    # transient tunnel/compiler-transport failure, not a
+                    # lowering problem — retry once before concluding
+                    # anything about the kernels (disabling Pallas on a
+                    # dropped HTTP response would silently degrade perf)
+                    time.sleep(2.0)
+                    try:
+                        outs.append(fn(gray))
+                        continue
+                    except Exception:  # noqa: BLE001
+                        pass  # persists → treat as a real backend failure
                 # last recovery tier: a Pallas kernel this backend can't
                 # lower (Mosaic version drift, exotic level geometry).
                 # The XLA dense/integral phase is bit-identical — drop
@@ -755,7 +769,24 @@ class CascadeEngine:
 
         def build(item):
             fn = self._level_jits.get(item) or self._make_item_jit(item)
-            jax.block_until_ready(fn(gray))
+            # the remote TPU compiler reaches the device over an HTTP
+            # tunnel that can drop a response mid-read (observed:
+            # "INTERNAL: .../remote_compile: read body: response body
+            # closed before all bytes were read" killing a whole warmup).
+            # Transient — completed sibling compiles persist in the cache,
+            # so a short retry only redoes the failed item.
+            for attempt in range(3):
+                try:
+                    jax.block_until_ready(fn(gray))
+                    break
+                except Exception as e:  # noqa: BLE001
+                    msg = str(e)
+                    transient = ("remote_compile" in msg
+                                 or "INTERNAL" in msg
+                                 or "UNAVAILABLE" in msg)
+                    if attempt == 2 or not transient:
+                        raise
+                    time.sleep(2.0 * (attempt + 1))
             return item, fn
 
         with cf.ThreadPoolExecutor(max_workers=threads) as ex:
