@@ -48,11 +48,18 @@ def force_cpu_backend() -> None:
     """Switch this process to the CPU backend AND re-key the persistent
     compile cache for it (must run before the first jax device query).
     Use this instead of a bare `jax.config.update('jax_platforms', 'cpu')`
-    so platform-crossed XLA:CPU AOT cache entries can't load."""
+    so platform-crossed XLA:CPU AOT cache entries can't load.
+
+    Idempotent: when the process already forced the CPU platform (e.g. a
+    test harness that configured its own cache dir before importing this
+    package), the call is a no-op — re-keying the cache dir mid-process
+    would silently cold-start compilation for everything after it."""
     import os
 
     import jax
 
+    if jax.config.jax_platforms == "cpu":
+        return
     jax.config.update("jax_platforms", "cpu")
     if not os.environ.get("VCA_NO_COMPILE_CACHE"):
         jax.config.update("jax_compilation_cache_dir",

@@ -3,6 +3,21 @@
 Tests must run anywhere (CI, dev boxes) without TPU hardware; sharding tests
 use an 8-device virtual CPU mesh, standing in for an 8-chip TPU slice.
 This must run before jax is imported anywhere in the test process.
+
+Persistent-cache stability note (2026-08-19): XLA:CPU's
+``LoadedExecutable.serialize()`` can SEGFAULT (rc=139, crash inside
+``jax._src.compilation_cache.put_executable_and_time``) when a
+persistent-cache WRITE happens late in a long-lived process — observed
+3/3 at the ~150th test of a single-process full-suite run, while the
+IDENTICAL programs serialize fine from small processes (verified by a
+forced-write run with VCA_TEST_CACHE_MIN_COMPILE_S=0). Mitigations:
+per-file xdist workers are the default (pyproject addopts) so every
+cache write happens in a young process, and sub-0.5s compiles are never
+written (JAX default threshold). Knobs:
+  VCA_TEST_JAX_CACHE         — relocate the suite's compile cache dir
+  VCA_TEST_CACHE_MIN_COMPILE_S — override the write threshold (0 forces
+                                 every program into the cache; use only
+                                 from small/targeted pytest runs)
 """
 
 import os
@@ -28,9 +43,11 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite builds many deep-pyramid cascade
 # programs (minutes of XLA:CPU compile); caching them on disk makes repeat
 # runs compile-free. Safe to delete the directory at any time.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+_CACHE_DIR = os.environ.get("VCA_TEST_JAX_CACHE") or os.path.join(
+    os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                  float(os.environ.get("VCA_TEST_CACHE_MIN_COMPILE_S", "0.5")))
 
 import numpy as np
 import pytest

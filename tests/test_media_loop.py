@@ -53,8 +53,11 @@ def test_media_loop_tcp_chain():
                 s.sendall(frame.tobytes())
             assert _wait(lambda: face_ev), "no OnFace event"
         # frames_processed increments once the whole element chain (incl.
-        # the eye engines' first build in a cold process) finishes
-        assert _wait(lambda: pipe.framesProcessed() >= 1, timeout=480), \
+        # the eye engines' first build in a cold process) finishes; the
+        # budget assumes a 1-core host running 4 xdist workers where
+        # sibling workers may be cold-compiling (observed 575 s wall for
+        # a ~150 s step under that contention)
+        assert _wait(lambda: pipe.framesProcessed() >= 1, timeout=900), \
             "step never completed"
     finally:
         pipe.stopMedia()

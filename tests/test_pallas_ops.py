@@ -3,6 +3,7 @@ is exercised by bench/driver; kernels are exact by construction)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from nubomedia_vca_tpu.ops.pallas.integral_pallas import (
     integral_images_pallas, integral_image_matmul,
@@ -366,21 +367,24 @@ def test_pyramid_kernel_matches_xla_engine(rng):
     assert total > 0
 
 
-def test_pyramid_chunks_per_level_mode(rng):
-    """Deep pyramids (force_per_level) execute as pyramid-kernel CHUNKS —
-    a handful of programs instead of one per level — with the identical
-    window set. Chunk boundaries respect the VMEM sum budget and each
-    chunk must beat the XLA path's byte cost."""
-    import sys, os
-    sys.path.insert(0, os.path.dirname(__file__))
-    from fixtures import face_scene
+def _chunked_deep_engine():
     from nubomedia_vca_tpu.cascade.engine import CascadeEngine
     from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
 
     casc = load_cascade_xml(
         "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml")
-    eng_p = CascadeEngine(casc, (96, 72), 1.05, use_pallas_dense=True,
-                          use_pallas_pyramid=True)
+    return casc, CascadeEngine(casc, (96, 72), 1.05, use_pallas_dense=True,
+                               use_pallas_pyramid=True)
+
+
+def test_pyramid_chunk_plan_geometry():
+    """Deep pyramids (force_per_level) plan pyramid-kernel CHUNKS — a
+    handful of programs instead of one per level. Chunk boundaries must
+    respect the VMEM sum budget and cover consecutive levels (host-side
+    plan checks; the interpret-mode execution sweep is the full-tier
+    test below — the per-level-vs-chunk window-set equality itself is
+    also gated cheaply by test_pyramid_kernel_matches_xla_engine)."""
+    _, eng_p = _chunked_deep_engine()
     assert eng_p._force_per_level              # deep pyramid, >20 levels
     chunks = eng_p._pyramid_chunks()
     assert len(chunks) >= 2                    # budget really splits it
@@ -392,6 +396,18 @@ def test_pyramid_chunks_per_level_mode(rng):
                     for li in ch)
         assert total <= eng_p.PALLAS_PYRAMID_MAX_SUM_ELEMS
 
+
+@pytest.mark.full
+def test_pyramid_chunks_per_level_mode(rng):
+    """Full tier: the chunked deep pyramid executes (interpret mode on
+    CPU) with the window set IDENTICAL to the kernels-disabled XLA
+    engine, level by level."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import face_scene
+    from nubomedia_vca_tpu.cascade.engine import CascadeEngine
+
+    casc, eng_p = _chunked_deep_engine()
     eng_r = CascadeEngine(casc, (96, 72), 1.05, use_pallas_dense=False,
                           use_pallas_pyramid=False)
     frames = np.stack([

@@ -91,7 +91,7 @@ def test_face_to_eye_chaining():
                       emits=("face",))
     eye_model = EyeDetector((640, 480), EyeDetectorConfig(
         right_cascade_path=FACE_XML, left_cascade_path=FACE_XML,
-        detect_event=1))
+        detect_event=1, width_to_process=160))
     eye = FilterNode("eye", eye_model, "eye", consumes={"face"},
                      emits=("eye_left", "eye_right"))
     pipe = VcaPipeline().add(face).add(eye)
@@ -241,7 +241,7 @@ def test_tracker_to_face_to_eye_chain():
                       emits=("face",))
     eye_model = EyeDetector((640, 480), EyeDetectorConfig(
         right_cascade_path=FACE_XML, left_cascade_path=FACE_XML,
-        detect_event=1))
+        detect_event=1, width_to_process=160))
     eye = FilterNode("eye", eye_model, "eye", consumes={"face"},
                      emits=("eye_left", "eye_right"))
 

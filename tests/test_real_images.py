@@ -138,10 +138,11 @@ def test_part_chain_real_photo(face_photo):
     face is too small); at 480 and above only the left-half
     lefteye_2splits fires — the right (image-left) eye never fires at any
     width through the work-res chain, golden-corroborated, so the gates
-    here are left eye at 480, mouth (real smile cascade) and nose
-    (shipped synthetic substitute — a real HIT on this photo, recorded in
-    BASELINE.md) at the default 320."""
-    from nubomedia_vca_tpu.models.eye import EyeDetector, EyeDetectorConfig
+    here are mouth (real smile cascade) and nose (shipped synthetic
+    substitute — a real HIT on this photo, recorded in BASELINE.md) at
+    the default 320; the eye-at-480 gate is the full-tier
+    test_part_chain_real_photo_eye_480 below (the 480x562 part pyramid
+    at batch 1 costs minutes of XLA:CPU execution)."""
     from nubomedia_vca_tpu.models.mouth import (MouthDetector,
                                                 MouthDetectorConfig)
     from nubomedia_vca_tpu.models.nose import NoseDetector
@@ -149,14 +150,6 @@ def test_part_chain_real_photo(face_photo):
     gray = _gray(face_photo)
     H, W = gray.shape
     face = _biggest(_teacher_boxes(gray))
-
-    eye = EyeDetector((W, H), EyeDetectorConfig(width_to_process=480))
-    eyes = eye.process(gray[None])[0]
-    assert len(eyes["eye_left"]) >= 1, eyes
-    el = _biggest(eyes["eye_left"])
-    # upper face, left-of-center half (global original coords)
-    assert _center_in(el, (face[0] + face[2] // 2, face[1],
-                           face[2] // 2, int(face[3] * 0.60))), (el, face)
 
     mouth = MouthDetector((W, H), MouthDetectorConfig())
     mouths = mouth.process(gray[None])[0]["mouth"]
@@ -170,6 +163,27 @@ def test_part_chain_real_photo(face_photo):
     assert len(noses) >= 1, "synthetic nose XML hits this portrait (probed)"
     for nb in noses:
         assert _center_in(nb, tuple(face)), (nb, face)
+
+
+@pytest.mark.full
+def test_part_chain_real_photo_eye_480(face_photo):
+    """Full tier: the real 2splits eye gate of the chain — at part width
+    480 lefteye_2splits fires on the portrait and lands in the upper
+    image-right half of the face (split out of the default-tier chain
+    test purely for cost; the fact itself is golden-corroborated by
+    test_part_chain_real_photo_eye_golden_corroboration)."""
+    from nubomedia_vca_tpu.models.eye import EyeDetector, EyeDetectorConfig
+
+    gray = _gray(face_photo)
+    H, W = gray.shape
+    face = _biggest(_teacher_boxes(gray))
+    eye = EyeDetector((W, H), EyeDetectorConfig(width_to_process=480))
+    eyes = eye.process(gray[None])[0]
+    assert len(eyes["eye_left"]) >= 1, eyes
+    el = _biggest(eyes["eye_left"])
+    # upper face, left-of-center half (global original coords)
+    assert _center_in(el, (face[0] + face[2] // 2, face[1],
+                           face[2] // 2, int(face[3] * 0.60))), (el, face)
 
 
 @pytest.mark.full

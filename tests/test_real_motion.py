@@ -127,6 +127,44 @@ def test_tracker_real_scene_static_quiet(texture_photo):
     assert all(r == [] for r in res)
 
 
+def test_cli_tracker_real_video_file(face_photo, texture_photo, tmp_path):
+    """The run_plugin.sh file-playback analog on REAL pixels: the
+    real-motion clip is encoded to an actual video file, decoded back
+    through the CLI's cv2.VideoCapture path (the reference's
+    `uridecodebin uri=file:///opt/video/car.avi ! nubotracker` pipeline,
+    nubo_tracker run_plugin.sh:4), tracked, and re-encoded annotated."""
+    import contextlib
+    import io
+
+    import cv2
+
+    from nubomedia_vca_tpu import cli
+
+    clip, _ = _real_motion_clip(face_photo, texture_photo)
+    src = str(tmp_path / "motion.mp4")
+    vw = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                         (320, 240))
+    for fr in clip:
+        vw.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+    out_file = str(tmp_path / "annotated.mp4")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["tracker", "--input", src, "--frames", "10",
+                       "--output", out_file])
+    assert rc == 0
+    text = buf.getvalue()
+    assert "tracker: 10 frames" in text
+    # codec noise must not defeat the motion threshold: the moving real
+    # crop still yields blobs on most post-warmup frames
+    n_hit = sum(1 for i in range(1, 10)
+                if f"frame {i}: (" in text)
+    assert n_hit >= 5, text
+    import os
+    assert os.path.getsize(out_file) > 0
+
+
 def test_media_plane_annotated_real_photo(face_photo):
     """The full serving loop on the REAL portrait: BGR frames in over
     TCP with downscaled ingest (only work-res luma crosses H2D), face
