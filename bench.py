@@ -7,7 +7,11 @@ respects a global wall-clock budget (env VCA_BENCH_BUDGET_S, default
 2400 s): phases that don't fit are skipped with a stderr notice, so a
 driver-side kill can never erase already-measured phases (round 3's
 record was lost exactly that way — rc=124, empty tail). A compile-cache
-warmup runs first (skip with VCA_BENCH_NO_WARMUP=1).
+warmup runs first (skip with VCA_BENCH_NO_WARMUP=1); once a warmup has
+COMPLETED for the current program set (content-hash of the package + this
+file + shapes), a marker under ~/.cache/nubomedia_vca_tpu lets later runs
+skip it — re-warming a warm cache is ~10 min of pure re-tracing here
+(VCA_BENCH_FORCE_WARMUP=1 forces it anyway).
 
 Each phase runs in its own subprocess: on the axon-tunnel TPU harness, a
 single device→host transfer permanently degrades every subsequent
@@ -156,6 +160,40 @@ def jnp_canary(frames):
     return jnp.asarray(frames)
 
 
+def _bounded_canary(fn, timeout_s=180.0):
+    """Run a best-effort end-of-phase canary under a hard wall-clock bound.
+
+    The canary's D2H readback rides the degraded tunnel and has been
+    observed to BLOCK for 25+ minutes (0% CPU, probe runs 2026-08-19); by
+    this point the phase's metrics are already flushed, so a stuck canary
+    must not eat the phase timeout (and with it the global budget). The
+    canary runs in a daemon thread; if it doesn't finish in time the phase
+    subprocess exits 0 — a Python signal handler can't fire while the main
+    thread is parked inside the runtime's C wait, hence the thread."""
+    import threading
+
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def run():
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — canary is best-effort
+            err.append(e)
+        finally:
+            done.set()
+
+    threading.Thread(target=run, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench: canary still blocked after {timeout_s:.0f}s — "
+              "exiting; metrics were already emitted", file=sys.stderr)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+    if err:
+        print(f"WARNING: canary readback failed: {err[0]}", file=sys.stderr)
+
+
 def _cascade_bytes(engine, work_w, work_h, src_w=None):
     """Roofline HBM-bytes/frame estimate for one cascade engine's device
     program from its actual access patterns: the bilinear downsample reads
@@ -207,8 +245,15 @@ def _cascade_bytes(engine, work_w, work_h, src_w=None):
 
 
 def phase_grouped(B):
+    """Headline phase. Also samples the raw-candidate step in the SAME
+    subprocess: step_raw shares every compiled level program with
+    step_grouped, and loading those executables through the tunnel
+    dominates a phase's wall-clock (~600 s measured vs seconds of
+    sampling) — a separate raw subprocess pays that load twice and has
+    timed out losing its metric entirely. Raw sampling happens before the
+    single end-of-phase canary D2H, so its numbers stay clean."""
     engine, work_h, frames, _ = _setup(B)
-    _, step_grouped = _steps(engine, work_h)
+    step_raw, step_grouped = _steps(engine, work_h)
     bytes_per_frame = _cascade_bytes(engine, WORK_W, work_h, src_w=W)
     # mechanical self-guard (BASELINE.md:26-28 promoted into the
     # measurement): the tunnel's deferred-execution enqueue rate can outrun
@@ -218,12 +263,7 @@ def phase_grouped(B):
     roofline_fps = 1.1 * V5E_PEAK_GBPS * 1e9 / bytes_per_frame
     samples = [_throughput(step_grouped, frames, B, canary=False)
                for _ in range(3)]
-    # single canary D2H only after ALL samples (the transfer flips the
-    # tunnel into degraded mode and would poison later samples)
-    canary_out = step_grouped(jnp_canary(frames))
-    if int(np.asarray(canary_out[1]).sum()) == 0:
-        print("WARNING: zero detections on face-bearing frames",
-              file=sys.stderr)
+    raw_fps = _throughput(step_raw, frames, B, canary=False)
     # median, not min: one tunnel-contention dip (observed: a 301k sample
     # next to 569k/593k siblings) must not halve the recorded headline,
     # and one enqueue-outruns-device spike must not inflate it — the
@@ -242,6 +282,19 @@ def phase_grouped(B):
         "roofline_capped": capped}), flush=True)
     _emit("face_detect_720p_fps_per_chip", round(headline, 1), "frames/s",
           round(headline / 1000.0, 3))
+    _emit("device_path_720p_fps", round(raw_fps, 1), "frames/s",
+          round(raw_fps / 1000.0, 3))
+
+    # single canary D2H only after ALL samples AND all metric emission (the
+    # transfer flips the tunnel into degraded mode and has been observed to
+    # block outright — see _bounded_canary)
+    def canary():
+        out = step_grouped(jnp_canary(frames))
+        if int(np.asarray(out[1]).sum()) == 0:
+            print("WARNING: zero detections on face-bearing frames",
+                  file=sys.stderr)
+
+    _bounded_canary(canary)
 
 
 def phase_latency(B):
@@ -574,8 +627,24 @@ def phase_chain(B):
         part_engines.update(d.part_engines)
     fe = face.engine
     fmn = MIN_NEIGHBORS
-    for eng in [fe, *part_engines.values()]:
-        eng.warmup(batch_size=B)
+    # Warm the six engines CONCURRENTLY: on this 1-core host per-engine
+    # tracing serializes on the GIL either way, but each engine's remote
+    # compile / executable-load RPCs release the GIL, so engine A's tracing
+    # overlaps engine B's tunnel waits (inner pools kept small to bound
+    # in-flight RPCs). Per-engine wall times go to stderr so a timeout's
+    # cost breakdown survives in the driver log.
+    import concurrent.futures as cf
+
+    def _warm_one(named):
+        name, eng = named
+        t0 = time.perf_counter()
+        eng.warmup(batch_size=B, threads=4)
+        print(f"bench: chain warm {name} in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+
+    to_warm = [("face", fe), *part_engines.items()]
+    with cf.ThreadPoolExecutor(max_workers=len(to_warm)) as ex:
+        list(ex.map(_warm_one, to_warm))
 
     def step(gray):
         face_img = equalize_hist(
@@ -648,12 +717,15 @@ PHASES = {
 #     the phases whose metrics matter most (headline, cnn, chain, the
 #     north-star e2e) come first and stream their JSON the moment they
 #     finish; if the global budget runs out, the tail still holds them.
-PHASE_EXEC_ORDER = ["grouped", "raw", "cnn", "chain", "latency", "e2e",
+PHASE_EXEC_ORDER = ["grouped", "cnn", "chain", "e2e", "latency",
                     "e2e_fullres", "feeder"]
+# "raw" is sampled inside the grouped phase (shared engine programs; a
+# separate subprocess re-pays the ~600 s tunnel program-load and has
+# timed out losing the metric); `--phase raw` still runs it standalone.
 # per-phase subprocess timeouts, sized to fit the DEFAULT_BUDGET_S global
 # budget (each is also clamped to the remaining budget at launch time)
 PHASE_TIMEOUTS = {
-    "grouped": 900, "raw": 300, "cnn": 480, "chain": 900,
+    "grouped": 1080, "raw": 600, "cnn": 480, "chain": 900,
     "latency": 240, "e2e": 600, "e2e_fullres": 240, "feeder": 240,
 }
 # don't even start a phase with less budget left than it plausibly needs
@@ -678,6 +750,39 @@ def _headline_lines(outputs):
     return [picked[k] for k in reversed(keys) if k in picked]
 
 
+def _warm_marker_path() -> str:
+    """Path of the marker recording a COMPLETED bench warmup for this exact
+    program set. Keyed by (a) a content hash of every .py in the package
+    (the warmup subprocess runs `python -m nubomedia_vca_tpu warmup`, whose
+    programs are defined entirely by package code — bench.py's own phase
+    step programs are warmed by the phases, never by the warmup, so bench
+    edits don't invalidate the marker; kernel/model edits do) and (b) the
+    warmup's shape/filter args + platform env. A valid marker lets main()
+    skip the warmup subprocess entirely: warmup on a fully-warm cache still
+    costs ~10 min of pure re-tracing on this 1-core host (measured 624 s),
+    which round 3 proved can be the difference between a driver artifact
+    and rc=124."""
+    import glob
+    import hashlib
+
+    h = hashlib.sha1()
+    root = os.path.dirname(os.path.abspath(__file__))
+    srcs = sorted(glob.glob(os.path.join(root, "nubomedia_vca_tpu", "**",
+                                         "*.py"), recursive=True))
+    for p in srcs:
+        try:
+            with open(p, "rb") as f:
+                h.update(p.encode())
+                h.update(f.read())
+        except OSError:
+            pass
+    h.update(f"{W}x{H}:64:face,eye,mouth,nose,cnn,parts:"
+             f"{os.environ.get('JAX_PLATFORMS', '')}".encode())
+    d = os.path.join(os.path.expanduser("~"), ".cache", "nubomedia_vca_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"bench_warm_{h.hexdigest()[:12]}.ok")
+
+
 def _run_warmup(remaining_s: float) -> None:
     """Populate the persistent compile cache before any timing phase so
     samples measure execution, not the remote compiler (VERDICT r3 item 1;
@@ -692,8 +797,16 @@ def _run_warmup(remaining_s: float) -> None:
     one completed run makes every later run warm."""
     if os.environ.get("VCA_BENCH_NO_WARMUP"):
         return
+    marker = _warm_marker_path()
+    if (os.path.exists(marker)
+            and not os.environ.get("VCA_BENCH_FORCE_WARMUP")):
+        print(f"bench: warmup skipped — completed-warmup marker for this "
+              f"program set exists ({marker}); VCA_BENCH_FORCE_WARMUP=1 "
+              f"overrides", file=sys.stderr)
+        return
     tmo = min(900.0, max(60.0, remaining_s * 0.3))
     t0 = time.monotonic()
+    rc = None
     try:
         r = subprocess.run(
             [sys.executable, "-m", "nubomedia_vca_tpu", "warmup",
@@ -701,9 +814,12 @@ def _run_warmup(remaining_s: float) -> None:
              "--warm-filters", "face,eye,mouth,nose,cnn,parts"],
             capture_output=True, text=True, timeout=tmo,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        status = f"rc={r.returncode}"
+        status, rc = f"rc={r.returncode}", r.returncode
     except subprocess.TimeoutExpired:
         status = f"timed out at {tmo:.0f}s (cache partially warmed)"
+    if rc == 0:
+        with open(marker, "w") as f:
+            f.write(f"{time.time():.0f}\n")
     print(f"bench: warmup {status} in {time.monotonic() - t0:.0f}s",
           file=sys.stderr)
 
@@ -742,6 +858,12 @@ def main():
             if rc != 0:
                 print(f"phase {name} failed:\n{r.stderr[-2000:]}",
                       file=sys.stderr)
+            elif r.stderr:
+                # keep the phase's own diagnostics (e.g. per-engine warm
+                # times) in the driver log even on success
+                for ln in r.stderr.splitlines():
+                    if ln.startswith("bench:"):
+                        print(ln, file=sys.stderr)
         except subprocess.TimeoutExpired as e:
             raw = e.stdout or b""
             out, rc = (raw.decode() if isinstance(raw, bytes) else raw), -1
@@ -751,6 +873,12 @@ def main():
         # stream this phase's metrics IMMEDIATELY — evidence must survive
         # an outer kill no matter which later phase detonates
         sys.stdout.write(out)
+        # ... and keep the HEADLINE as the last flushed line at every
+        # point in time: tail parsers read the last line, and an outer
+        # kill (round 3's rc=124) can land mid-phase
+        hl = _headline_lines(outputs)
+        if hl:
+            sys.stdout.write(hl[-1] + "\n")
         sys.stdout.flush()
         print(f"bench: phase {name} done in {time.monotonic() - t0:.0f}s "
               f"({remaining():.0f}s budget left)", file=sys.stderr)

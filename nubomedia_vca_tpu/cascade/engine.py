@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 
 import numpy as np
@@ -169,6 +170,18 @@ class CascadeEngine:
         # fine scale factors produce very deep pyramids whose whole-program
         # graphs choke the TPU remote compiler — default those to per-level
         self._force_per_level = len(self.levels) > 20
+        # On the TPU harness every extra PROGRAM costs a remote-compiler
+        # round-trip plus an executable load through the tunnel (seconds
+        # each): a tilted sf=1.1 part engine is 24 SOLO levels (tilted
+        # cascades get no pyramid-kernel chunks) and three of them made the
+        # full-chain warm the bench's long pole. Solo XLA levels are
+        # therefore grouped into multi-level programs on TPU — well under
+        # the >20-level whole-pyramid size that chokes the remote compiler.
+        # CPU keeps one program per level: the test suite's persistent
+        # XLA:CPU cache stays valid and individual compiles stay small.
+        self._xla_group_levels = max(1, int(os.environ.get(
+            "VCA_XLA_GROUP_LEVELS",
+            "6" if jax.default_backend() == "tpu" else "1")))
 
     # ------------------------------------------------------------------ prep
     def _build_tables(self, block_plan) -> None:
@@ -682,9 +695,46 @@ class CascadeEngine:
                 items.append(li)
             elif li == ch[0]:
                 items.append(ch)
+        n = self._xla_group_levels
+        if n > 1:
+            # group runs of consecutive SOLO levels into ("xla", (li...))
+            # multi-level programs (fewer programs through the remote
+            # compiler/tunnel); pyramid-kernel chunks pass through as-is
+            # and level order is preserved, so concatenated outputs are
+            # identical to the ungrouped plan
+            grouped: list = []
+            run: list[int] = []
+
+            def flush():
+                if len(run) > 1:
+                    grouped.append(("xla", tuple(run)))
+                elif run:
+                    grouped.append(run[0])
+                run.clear()
+
+            for it in items:
+                if isinstance(it, int):
+                    run.append(it)
+                    if len(run) >= n:
+                        flush()
+                else:
+                    flush()
+                    grouped.append(it)
+            flush()
+            return grouped
         return items
 
     def _make_item_jit(self, item):
+        if isinstance(item, tuple) and item and item[0] == "xla":
+            def run_group(gray, _idxs=item[1]):
+                res = [self._eval_level(gray, li=li) for li in _idxs]
+                ovf = res[0][2]
+                for r in res[1:]:
+                    ovf = ovf | r[2]
+                return (jnp.concatenate([r[0] for r in res], axis=1),
+                        jnp.concatenate([r[1] for r in res], axis=1),
+                        ovf)
+            return jax.jit(run_group)
         if isinstance(item, tuple):
             def run_chunk(gray, _chunk=item):
                 res = self._eval_chunk(gray, _chunk)
@@ -728,6 +778,15 @@ class CascadeEngine:
                         continue
                     except Exception:  # noqa: BLE001
                         pass  # persists → treat as a real backend failure
+                # a persistently failing multi-level XLA GROUP (remote
+                # compiler rejecting the larger program) degrades to one
+                # program per level before anything Pallas-related is
+                # touched — same outputs, just more programs
+                if (isinstance(item, tuple) and item and item[0] == "xla"
+                        and self._xla_group_levels > 1):
+                    self._xla_group_levels = 1
+                    self._level_jits = {}
+                    return self._detect_per_level(gray)
                 # last recovery tier: a Pallas kernel this backend can't
                 # lower (Mosaic version drift, exotic level geometry).
                 # The XLA dense/integral phase is bit-identical — drop
@@ -789,9 +848,22 @@ class CascadeEngine:
                     time.sleep(2.0 * (attempt + 1))
             return item, fn
 
-        with cf.ThreadPoolExecutor(max_workers=threads) as ex:
-            for item, fn in ex.map(build, self._per_level_items()):
-                self._level_jits[item] = fn
+        try:
+            with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+                for item, fn in ex.map(build, self._per_level_items()):
+                    self._level_jits[item] = fn
+        except Exception:  # noqa: BLE001 — persistent compile failure
+            # multi-level XLA groups are a pure program-count optimization;
+            # if the remote compiler rejects the larger programs, degrade
+            # to one program per level and warm that plan instead (same
+            # degradation _detect_per_level applies at detection time)
+            if self._xla_group_levels <= 1:
+                raise
+            self._xla_group_levels = 1
+            self._level_jits = {}
+            with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+                for item, fn in ex.map(build, self._per_level_items()):
+                    self._level_jits[item] = fn
 
     def detect_raw(self, gray):
         """gray [B,H,W] or [H,W] uint8 → (boxes, valid, overflow) on device.

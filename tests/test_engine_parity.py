@@ -147,3 +147,34 @@ def test_flat_image_no_detections(face_engine):
     assert len(face_engine.detect(flat, 0)[0]) == 0
     _, valid, _ = face_engine.detect_raw(flat)
     assert not np.asarray(valid).any()
+
+
+def test_xla_level_grouping_equality():
+    """On TPU, runs of solo XLA levels are grouped into multi-level programs
+    (("xla", (li...)) plan items) so deep tilted pyramids cost a handful of
+    remote-compiler round-trips instead of one per level (the bench chain
+    phase's long pole). The grouped plan preserves level order, so its
+    concatenated boxes/valid/overflow must be bit-identical to the
+    one-program-per-level plan (exercised here on CPU via the env override
+    the engine reads, VCA_XLA_GROUP_LEVELS)."""
+    eng = CascadeEngine(load_cascade_xml(SMILE_XML), (160, 120), 1.12)
+    gray = face_scene(160, 120, faces=((80, 60, 34),), noise=4, seed=3)[None]
+
+    eng._xla_group_levels = 1
+    plan1 = eng._per_level_items()
+    base = [np.asarray(x) for x in eng._detect_per_level(gray)]
+
+    eng._xla_group_levels = 4
+    eng._level_jits = {}
+    plan4 = eng._per_level_items()
+    got = [np.asarray(x) for x in eng._detect_per_level(gray)]
+
+    assert any(isinstance(i, tuple) and i and i[0] == "xla" for i in plan4)
+    assert len(plan4) < len(plan1)
+    # grouped runs stay consecutive and within the bound
+    for it in plan4:
+        if isinstance(it, tuple) and it[0] == "xla":
+            assert list(it[1]) == list(range(it[1][0], it[1][-1] + 1))
+            assert 2 <= len(it[1]) <= 4
+    for a, b in zip(base, got):
+        assert np.array_equal(a, b)
