@@ -4,7 +4,8 @@ Prints one JSON line per config ({"metric","value","unit","vs_baseline"}),
 streamed the moment each phase finishes, with the key metrics re-printed
 at the end (HEADLINE LAST) for last-line tail parsers. The whole run
 respects a global wall-clock budget (env VCA_BENCH_BUDGET_S, default
-2400 s): phases that don't fit are skipped with a stderr notice, so a
+1400 s — calibrated UNDER the driver's observed kill window, see
+DEFAULT_BUDGET_S): phases that don't fit are skipped with a stderr notice, so a
 driver-side kill can never erase already-measured phases (round 3's
 record was lost exactly that way — rc=124, empty tail). A compile-cache
 warmup runs first (skip with VCA_BENCH_NO_WARMUP=1); once a warmup has
@@ -26,6 +27,11 @@ Configs:
   * face_detect_720p_fps_per_chip (HEADLINE) — the FULL per-frame device
     program: + on-device minNeighbors grouping; per frame the chip outputs
     final grouped boxes ([B,64] arrays are all that ever leaves)
+  * face_detect_720p_fps_per_chip_xla_only — the headline step with all
+    Pallas kernels disabled (pure XLA lowering), same run conditions:
+    the fused-vs-XLA A/B.
+  * latency_batch_ms_derived — per-batch device latency implied by the
+    headline async throughput (B/fps); the defensible device-side number.
   * latency_batch_ms_p50/p99_tunnel — synchronous dispatch→host-boxes
     latency. Tunnel-RTT/bandwidth bound in this harness (~1 s); the device
     compute itself is ~0.2 ms/batch (see headline).
@@ -71,7 +77,7 @@ def _emit(metric, value, unit, vs_baseline):
                       "vs_baseline": vs_baseline}), flush=True)
 
 
-def _setup(B):
+def _setup(B, **engine_kwargs):
     import jax.numpy as jnp
     from nubomedia_vca_tpu.cascade.engine import CascadeEngine
     from nubomedia_vca_tpu.cascade.xml_loader import load_cascade_xml
@@ -81,7 +87,7 @@ def _setup(B):
     engine = CascadeEngine(
         load_cascade_xml(
             "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml"),
-        (WORK_W, work_h), 1.25)
+        (WORK_W, work_h), 1.25, **engine_kwargs)
     rng = np.random.RandomState(0)
     frames = np.stack([
         face_scene(W, H, faces=((rng.randint(200, 1080),
@@ -248,10 +254,20 @@ def phase_grouped(B):
     """Headline phase. Also samples the raw-candidate step in the SAME
     subprocess: step_raw shares every compiled level program with
     step_grouped, and loading those executables through the tunnel
-    dominates a phase's wall-clock (~600 s measured vs seconds of
-    sampling) — a separate raw subprocess pays that load twice and has
-    timed out losing its metric entirely. Raw sampling happens before the
-    single end-of-phase canary D2H, so its numbers stay clean."""
+    dominates a phase's wall-clock (~600 s measured cold vs seconds of
+    sampling; ~20 s warm) — a separate raw subprocess pays that load twice
+    and has timed out losing its metric entirely. Raw sampling happens
+    before the single end-of-phase canary D2H, so its numbers stay clean.
+
+    Also emits (VERDICT r4 items 2 and 5):
+      * face_detect_720p_fps_per_chip_xla_only — the SAME outer step over
+        an engine with every Pallas kernel disabled (pure-XLA lowering),
+        sampled in the same process/run conditions: the fused-vs-XLA A/B
+        the round-2→4 headline narrative lacked.
+      * latency_batch_ms_derived — per-batch device latency implied by the
+        async throughput (B/fps); the tunnel p50/p99 numbers from
+        phase_latency are harness-RTT-bound and suffixed _tunnel.
+    """
     engine, work_h, frames, _ = _setup(B)
     step_raw, step_grouped = _steps(engine, work_h)
     bytes_per_frame = _cascade_bytes(engine, WORK_W, work_h, src_w=W)
@@ -284,17 +300,51 @@ def phase_grouped(B):
           round(headline / 1000.0, 3))
     _emit("device_path_720p_fps", round(raw_fps, 1), "frames/s",
           round(raw_fps / 1000.0, 3))
+    # derived per-batch device latency (VERDICT r4 #5): B frames emerge
+    # per dispatch at the measured async rate, so one batch occupies the
+    # device B/fps seconds. Mechanical, honest, and free of the tunnel's
+    # post-D2H sync pathology (which is what latency_batch_ms_*_tunnel
+    # actually measures).
+    lat_ms = B / headline * 1e3
+    _emit("latency_batch_ms_derived", round(lat_ms, 4), "ms",
+          round(lat_ms, 4))
+
+    # ---- A/B: identical step over a Pallas-free engine (VERDICT r4 #2).
+    # Runs AFTER every headline line is flushed so a failure or a cold
+    # compile here can never cost the phase its main metrics.
+    try:
+        xeng, _, _, _ = _setup(B, use_pallas_integral=False,
+                               use_pallas_dense=False,
+                               use_pallas_pyramid=False)
+        xstep_raw, xstep_grouped = _steps(xeng, work_h)
+        xbytes = _cascade_bytes(xeng, WORK_W, work_h, src_w=W)
+        xroofline = 1.1 * V5E_PEAK_GBPS * 1e9 / xbytes
+        xsamples = [_throughput(xstep_grouped, frames, B, canary=False)
+                    for _ in range(3)]
+        xfps = float(np.median(xsamples))
+        xheadline = min(xfps, xroofline)
+        print(json.dumps({
+            "metric": "face_detect_720p_fps_per_chip_xla_only_samples",
+            "value": [round(s, 1) for s in xsamples], "unit": "frames/s",
+            "roofline_fps": round(xroofline, 1),
+            "roofline_capped": xfps > xroofline}), flush=True)
+        _emit("face_detect_720p_fps_per_chip_xla_only", round(xheadline, 1),
+              "frames/s", round(xheadline / 1000.0, 3))
+    except Exception as e:  # noqa: BLE001 — A/B must not cost the headline
+        print(f"bench: xla-only A/B failed: {e}", file=sys.stderr)
 
     # single canary D2H only after ALL samples AND all metric emission (the
     # transfer flips the tunnel into degraded mode and has been observed to
-    # block outright — see _bounded_canary)
+    # block outright — see _bounded_canary; 180 s observed 2/2 in round-4
+    # and round-5 probes, so the bound is 60 s: long enough for a healthy
+    # readback, cheap when the block recurs)
     def canary():
         out = step_grouped(jnp_canary(frames))
         if int(np.asarray(out[1]).sum()) == 0:
             print("WARNING: zero detections on face-bearing frames",
                   file=sys.stderr)
 
-    _bounded_canary(canary)
+    _bounded_canary(canary, timeout_s=60.0)
 
 
 def phase_latency(B):
@@ -642,9 +692,16 @@ def phase_chain(B):
         print(f"bench: chain warm {name} in {time.perf_counter() - t0:.0f}s",
               file=sys.stderr, flush=True)
 
+    t_phase = time.monotonic()
     to_warm = [("face", fe), *part_engines.items()]
     with cf.ThreadPoolExecutor(max_workers=len(to_warm)) as ex:
         list(ex.map(_warm_one, to_warm))
+    # stage timestamps to stderr: if this phase dies, the driver log shows
+    # WHICH stage ate the clock (engine warm vs sampling vs canary) — the
+    # round-4 postmortem couldn't distinguish a budget kill from a blocked
+    # canary (ADVICE r4)
+    print(f"bench: chain engines warm at T+{time.monotonic() - t_phase:.0f}s",
+          file=sys.stderr, flush=True)
 
     def step(gray):
         face_img = equalize_hist(
@@ -680,18 +737,26 @@ def phase_chain(B):
         "roofline_capped": fps > roofline_fps}), flush=True)
     _emit("haar_chain_720p_fps_per_chip", round(headline, 1), "frames/s",
           round(headline / 1000.0, 3))
+    print(f"bench: chain metrics emitted at "
+          f"T+{time.monotonic() - t_phase:.0f}s", file=sys.stderr, flush=True)
+
     # canary readback LAST: results already emitted, and on the tunnel
     # harness a readback can hit transient device errors after heavy
-    # first-time compiles — warn, don't lose the measurement
-    try:
-        canary_out = step(jnp_canary(frames))
-        n_parts = sum(int(np.asarray(p[1]).sum()) for p in canary_out[2])
-        if int(np.asarray(canary_out[1]).sum()) + n_parts == 0:
-            print("WARNING: zero detections across the whole chain",
+    # first-time compiles OR block outright (observed 180 s+ in the grouped
+    # phase both rounds) — bounded so a blocked readback exits the phase
+    # instead of eating the global budget
+    def canary():
+        try:
+            canary_out = step(jnp_canary(frames))
+            n_parts = sum(int(np.asarray(p[1]).sum()) for p in canary_out[2])
+            if int(np.asarray(canary_out[1]).sum()) + n_parts == 0:
+                print("WARNING: zero detections across the whole chain",
+                      file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"WARNING: chain canary readback failed: {e}",
                   file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"WARNING: chain canary readback failed: {e}",
-              file=sys.stderr)
+
+    _bounded_canary(canary, timeout_s=60.0)
 
 
 PHASES = {
@@ -713,11 +778,13 @@ PHASES = {
 #     which defer readback to a single end-of-phase canary) run BEFORE any
 #     readback-heavy phase;
 #   * budget priority — round 3's entire record was lost to a driver
-#     timeout because main() buffered everything (VERDICT r3 item 1), so
-#     the phases whose metrics matter most (headline, cnn, chain, the
-#     north-star e2e) come first and stream their JSON the moment they
-#     finish; if the global budget runs out, the tail still holds them.
-PHASE_EXEC_ORDER = ["grouped", "cnn", "chain", "e2e", "latency",
+#     timeout because main() buffered everything (VERDICT r3 item 1), and
+#     round 4's driver kill still landed mid-chain with e2e never run, so
+#     the order now puts the two never-driver-captured metrics (chain,
+#     e2e) immediately after the headline; cnn runs LAST of the key
+#     phases — it is cheap and already evidenced in BENCH_r02/r04
+#     (VERDICT r4 item 1a).
+PHASE_EXEC_ORDER = ["grouped", "chain", "e2e", "cnn", "latency",
                     "e2e_fullres", "feeder"]
 # "raw" is sampled inside the grouped phase (shared engine programs; a
 # separate subprocess re-pays the ~600 s tunnel program-load and has
@@ -725,19 +792,28 @@ PHASE_EXEC_ORDER = ["grouped", "cnn", "chain", "e2e", "latency",
 # per-phase subprocess timeouts, sized to fit the DEFAULT_BUDGET_S global
 # budget (each is also clamped to the remaining budget at launch time)
 PHASE_TIMEOUTS = {
-    "grouped": 1080, "raw": 600, "cnn": 480, "chain": 900,
-    "latency": 240, "e2e": 600, "e2e_fullres": 240, "feeder": 240,
+    "grouped": 660, "raw": 600, "cnn": 300, "chain": 720,
+    "latency": 180, "e2e": 480, "e2e_fullres": 180, "feeder": 180,
 }
 # don't even start a phase with less budget left than it plausibly needs
-# (chain compiles five part engines on a cold cache; the rest are cheap)
-PHASE_MIN_S = {"chain": 420, "grouped": 180, "e2e": 180}
-DEFAULT_BUDGET_S = 2400.0
+# (chain loads six engines' programs; the rest are cheap when warm)
+PHASE_MIN_S = {"chain": 300, "grouped": 180, "e2e": 150}
+# Global self-budget, calibrated to the DRIVER's observed kill window
+# (VERDICT r4 item 1b): the round-4 driver kill landed somewhere in
+# (1481 s, 2400 s] after start, so the bench must be DONE by ~1450 s to
+# guarantee the artifact is complete no matter where in that window the
+# kill lands. Warm-cache phase costs measured 2026-08-20 on this harness:
+# grouped ~202 s (of which 180 s was the blocked canary, now bounded at
+# 60 s), chain/e2e/cnn each well under their timeouts when warm.
+DEFAULT_BUDGET_S = 1400.0
 
 
 def _headline_lines(outputs):
     """The lines tail-parsers must see LAST: the grouped-phase headline
     (face_detect_720p_fps_per_chip), falling back to any captured metric."""
     keys = ["face_detect_720p_fps_per_chip", "hbm_gbps_est",
+            "face_detect_720p_fps_per_chip_xla_only",
+            "latency_batch_ms_derived",
             "haar_chain_720p_fps_per_chip", "e2e_hostloop_fps",
             "cnn_parts_720p_fps"]
     picked = {}
@@ -848,6 +924,12 @@ def main():
         tmo = min(PHASE_TIMEOUTS.get(name, 600) * scale,
                   max(60.0, left - 15))
         t0 = time.monotonic()
+        # start-of-phase breadcrumb: if an OUTER kill lands mid-phase, the
+        # driver log pins which phase and at what absolute offset (the
+        # round-4 postmortem had to infer this from budget arithmetic)
+        print(f"bench: phase {name} starting at "
+              f"T+{time.monotonic() - t_start:.0f}s (timeout {tmo:.0f}s)",
+              file=sys.stderr, flush=True)
         # a phase that hangs (tunnel congestion) must not take the
         # remaining phases down with it — especially not the headline
         try:

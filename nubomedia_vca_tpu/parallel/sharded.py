@@ -57,6 +57,43 @@ def make_sharded_detect_grouped(engine, mesh: Mesh, min_neighbors: int = 3):
     return detect
 
 
+def make_sharded_chain(face_engine, part_engines, mesh: Mesh,
+                       min_neighbors: int = 3):
+    """The reference's default filter chain as ONE sharded device program:
+    the face cascade (grouped on device) plus each part cascade at part
+    resolution with candidates device-compacted — the multi-device
+    counterpart of bench.py's phase_chain / MediaRunner's event-chained
+    deployment (ONE face pass feeds all part detectors,
+    kmseyedetect.cpp:680-724 chaining semantics).
+
+    Both image batches are sharded on ``data`` (every per-frame stage is
+    shard-local); only the grouped face boxes and the compacted part
+    candidates are all-gathered. Returns
+    fn(face_gray [B,fh,fw], part_gray [B,ph,pw]) →
+    ((fboxes, fvalid, fweights, foverflow), {name: (pboxes, pvalid,
+    poverflow)}).
+    """
+    names = list(part_engines)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(frame_sharding(mesh), frame_sharding(mesh)),
+        out_shardings=replicated(mesh),
+    )
+    def chain(face_gray, part_gray):
+        face = face_engine._group_impl(
+            *face_engine._detect_impl(face_gray),
+            min_neighbors=min_neighbors)
+        parts = {
+            n: part_engines[n]._compact_raw_impl(
+                *part_engines[n]._detect_impl(part_gray))
+            for n in names
+        }
+        return face, parts
+
+    return chain
+
+
 def make_sharded_train_step(optimizer, mesh: Mesh, params, opt_state):
     """Returns (train_step_fn, sharded_params, sharded_opt_state) with
     dp (batch) × tp (head features) shardings applied."""
