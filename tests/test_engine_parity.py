@@ -73,7 +73,13 @@ def test_iou_gate_vs_golden(face_engine):
         assert max(iou(w, g) for g in got) >= 0.95
 
 
-@pytest.mark.parametrize("xml,sf", [(PROFILE_XML, 1.1), (EYE_XML, 1.1)])
+# one sf=1.1 deep-pyramid window-exact surface stays in the default tier
+# (eye); the profile variant exercises the identical mechanism and runs in
+# the nightly full tier (VERDICT r4 item 3: default tier <= 10 min)
+@pytest.mark.parametrize("xml,sf", [
+    pytest.param(PROFILE_XML, 1.1, marks=pytest.mark.full),
+    (EYE_XML, 1.1),
+])
 def test_parts_window_exact(xml, sf):
     eng = CascadeEngine(load_cascade_xml(xml), (320, 240), sf)
     for mn in (0, 2):

@@ -267,6 +267,12 @@ def test_cnn_loss_decreases(rng):
     assert losses[-1] < losses[0]
 
 
+# full tier: ~400 s of XLA:CPU compile+run on this 1-core host, and the
+# driver independently executes dryrun_multichip every round
+# (MULTICHIP_r*.json), so the default tier keeps only the cheap
+# single-chip compile check below plus the sharded-serving gate in
+# test_misc.py (VERDICT r4 item 3)
+@pytest.mark.full
 def test_sharded_training_on_virtual_mesh():
     import __graft_entry__ as g
     n = jax.device_count()

@@ -159,6 +159,9 @@ def test_pallas_failure_falls_back_to_xla_phase(rng, monkeypatch):
     assert np.array_equal(np.sort(got, axis=0), np.sort(want, axis=0))
 
 
+# full tier: the tilted fused path keeps a default-tier gate via
+# test_dense_phase_tilted_full_path_nonvacuous (46 s vs 116 s)
+@pytest.mark.full
 def test_dense_phase_kernel_tilted_cascade(rng):
     """Tilt-using cascade (lefteye_2splits: 186 tilted features) through the
     fused kernel — in-kernel skewed-prefix-sum RSAT + tilted corner reads
