@@ -166,6 +166,33 @@ def jnp_canary(frames):
     return jnp.asarray(frames)
 
 
+def _bounded_call(fn, timeout_s, what="stage"):
+    """Run fn in a daemon thread with a hard wall-clock bound; returns its
+    value or raises TimeoutError/its exception. Needed for every post-D2H
+    tunnel interaction: once the stream is in degraded mode, any readback
+    can block indefinitely (observed 25+ min at 0% CPU, and 480 s phase
+    timeouts losing the e2e metric entirely on 2026-08-20); a signal can't
+    interrupt the runtime's C wait, a thread join can."""
+    import threading
+
+    res: dict = {}
+
+    def run():
+        try:
+            res["v"] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            res["e"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "v" in res:
+        return res["v"]
+    if "e" in res:
+        raise res["e"]
+    raise TimeoutError(f"{what} blocked > {timeout_s:.0f}s")
+
+
 def _bounded_canary(fn, timeout_s=180.0):
     """Run a best-effort end-of-phase canary under a hard wall-clock bound.
 
@@ -419,6 +446,7 @@ def phase_e2e_down(B):
     import jax.numpy as jnp
     from nubomedia_vca_tpu.cpp.ingest_binding import make_ingest
 
+    t_phase = time.monotonic()
     DB = 2 * B                      # serving batch
     engine, work_h, frames, _ = _setup(B)
     _, step_grouped = _steps(engine, work_h)
@@ -474,14 +502,20 @@ def phase_e2e_down(B):
     # error (observed: ABORTED on the tunnel's first D2H)
     _emit("e2e_async_loop_fps", round(async_fps, 1), "frames/s",
           round(async_fps / 1000.0, 3))
+    print(f"bench: e2e async loop done at T+{time.monotonic() - t_phase:.0f}s",
+          file=sys.stderr, flush=True)
 
     # ---- stage 2: measured H2D bandwidth (this poisons the stream; all
     # remaining measurements run in the degraded regime on this harness,
-    # which only makes them conservative)
+    # which only makes them conservative). Every post-flip interaction is
+    # WALL-CLOCK BOUNDED (_bounded_call): on 2026-08-20 the degraded
+    # stream's readbacks blocked outright and the unbounded probe cost the
+    # phase its 480 s timeout — and with it the e2e metric, again.
     frame_bytes = WORK_W * work_h
     FALLBACK_H2D_MBPS = 25.9        # measured on this tunnel 2026-08-17
     h2d_samples = []
-    try:
+
+    def h2d_probe():
         # Bandwidth probes run post-flip (the first small sum flips the
         # stream): a post-flip device_put is a DIRECT synchronous
         # transfer, the only measurable H2D mode on this harness (a
@@ -497,15 +531,43 @@ def phase_e2e_down(B):
             d = jax.device_put(probe)
             int(np.asarray(d.astype(jnp.uint32).sum()))  # true completion
             h2d_samples.append(32.0 / (time.perf_counter() - t0))
-        h2d_mbps = max(h2d_samples)
-    except Exception as e:  # noqa: BLE001 — transient tunnel aborts
-        print(f"h2d probe failed ({e}); using fallback "
+        return max(h2d_samples)
+
+    try:
+        h2d_mbps = _bounded_call(h2d_probe, 120.0, "h2d probe")
+        h2d_src = "measured"
+    except (Exception, TimeoutError) as e:  # noqa: BLE001 — tunnel aborts
+        print(f"bench: h2d probe failed ({e}); using fallback "
               f"{FALLBACK_H2D_MBPS} MB/s", file=sys.stderr)
         h2d_mbps = max(h2d_samples) if h2d_samples else FALLBACK_H2D_MBPS
+        h2d_src = "partial" if h2d_samples else "fallback_2026-08-17"
     h2d_cap_fps = h2d_mbps * 1e6 / frame_bytes
 
-    # ---- stage 3: host tracking + event-string rate on downloaded results
-    host_results = [tuple(np.asarray(x) for x in o) for o in outs[:4]]
+    # ---- stage 3: host tracking + event-string rate. The tracking loop
+    # is pure host CPU; only the result DOWNLOAD rides the degraded tunnel,
+    # so the download is bounded and falls back to representative
+    # synthesized grouped outputs (same shapes/dtypes, one box per frame —
+    # the tracker does strictly more work per real detection) if blocked.
+    def download():
+        return [tuple(np.asarray(x) for x in o) for o in outs[:4]]
+
+    try:
+        host_results = _bounded_call(download, 90.0, "result download")
+        track_src = "device_results"
+    except (Exception, TimeoutError) as e:  # noqa: BLE001
+        print(f"bench: result download blocked ({e}); timing tracker on "
+              f"synthesized grouped outputs", file=sys.stderr)
+        rngh = np.random.RandomState(1)
+        host_results = []
+        for _ in range(4):
+            bx = np.zeros((DB, 64, 4), np.float32)
+            bx[:, 0] = [40, 30, 60, 60] + rngh.randint(0, 5, (DB, 4))
+            vd = np.zeros((DB, 64), bool)
+            vd[:, 0] = True
+            host_results.append(
+                (bx, vd, np.ones((DB, 64), np.float32),
+                 np.zeros((DB,), bool)))
+        track_src = "synthesized"
     t0 = time.perf_counter()
     for hr in host_results:
         host_side(hr)
@@ -518,30 +580,46 @@ def phase_e2e_down(B):
         "metric": "e2e_hostloop_fps_provenance",
         "async_loop_fps": round(async_fps, 1),
         "h2d_bandwidth_mbps": round(h2d_mbps, 1),
+        "h2d_bandwidth_src": h2d_src,
         "h2d_samples_mbps": [round(v, 1) for v in h2d_samples],
         "h2d_cap_fps": round(h2d_cap_fps, 1),
         "host_tracking_fps": round(track_fps, 1),
+        "host_tracking_src": track_src,
         "bottleneck": ("h2d" if e2e == h2d_cap_fps else
                        "async_loop" if e2e == async_fps else "tracking"),
     }), flush=True)
     _emit("e2e_hostloop_fps", round(e2e, 1), "frames/s",
           round(e2e / 1000.0, 3))
+    print(f"bench: e2e metrics emitted at "
+          f"T+{time.monotonic() - t_phase:.0f}s", file=sys.stderr, flush=True)
 
     # ---- stage 4: honest single-window sync loop (degraded harness mode;
-    # kept small and emitted LAST — the degraded replay costs ~0.3-1.3
-    # s/frame here and must not cost the phase its main metric on timeout)
-    sync_batches = 2
-    t0 = time.perf_counter()
-    for k in range(sync_batches):
-        v = frames_bgr[k % B].copy()
-        v[::7, :, :] ^= 1           # distinct data each batch
-        for i in range(DB):
-            ingest.push(i % n_streams, v, pts=i)
-        fr, _, _ = ingest.collect(DB, min_frames=DB, wait_ms=4000)
-        host_side(step_grouped(jnp.asarray(fr)))
-    sync_fps = sync_batches * DB / (time.perf_counter() - t0)
-    _emit("e2e_hostloop_sync_fps_tunnel", round(sync_fps, 1), "frames/s",
-          round(sync_fps / 1000.0, 3))
+    # kept small, bounded, and emitted LAST — the degraded replay costs
+    # ~0.3-1.3 s/frame and has blocked outright; it must not cost the
+    # phase its main metric)
+    def sync_loop():
+        sync_batches = 2
+        t0 = time.perf_counter()
+        for k in range(sync_batches):
+            v = frames_bgr[k % B].copy()
+            v[::7, :, :] ^= 1       # distinct data each batch
+            for i in range(DB):
+                ingest.push(i % n_streams, v, pts=i)
+            fr, _, _ = ingest.collect(DB, min_frames=DB, wait_ms=4000)
+            host_side(step_grouped(jnp.asarray(fr)))
+        return sync_batches * DB / (time.perf_counter() - t0)
+
+    try:
+        sync_fps = _bounded_call(sync_loop, 120.0, "sync loop")
+        _emit("e2e_hostloop_sync_fps_tunnel", round(sync_fps, 1),
+              "frames/s", round(sync_fps / 1000.0, 3))
+    except (Exception, TimeoutError) as e:  # noqa: BLE001
+        print(f"bench: sync loop skipped ({e})", file=sys.stderr)
+    # blocked daemon threads can wedge runtime teardown — the metrics are
+    # flushed, exit without it (same rationale as _bounded_canary)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 def phase_e2e(B, use_feeder=False):
@@ -793,7 +871,7 @@ PHASE_EXEC_ORDER = ["grouped", "chain", "e2e", "cnn", "latency",
 # budget (each is also clamped to the remaining budget at launch time)
 PHASE_TIMEOUTS = {
     "grouped": 660, "raw": 600, "cnn": 300, "chain": 720,
-    "latency": 180, "e2e": 480, "e2e_fullres": 180, "feeder": 180,
+    "latency": 180, "e2e": 540, "e2e_fullres": 180, "feeder": 180,
 }
 # don't even start a phase with less budget left than it plausibly needs
 # (chain loads six engines' programs; the rest are cheap when warm)
