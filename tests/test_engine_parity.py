@@ -108,6 +108,12 @@ def test_min_max_size_pyramid_parity(face_engine):
     assert canon(got) == canon(want)
 
 
+# full tier: deep tilted-cascade grouped sweep (140 s warm, round-5
+# --durations). The tilted path stays default-gated by
+# test_pallas_ops.test_dense_phase_tilted_full_path_nonvacuous (tilted
+# RSAT features through the full engine with nonvacuous detections);
+# grouped-output IoU stays gated by the non-tilted parity tests.
+@pytest.mark.full
 def test_tilted_cascade_grouped_iou():
     """Tilted cascade (smile): grouped output within IoU tolerance of the
     golden (exact equality impossible: the golden's SIMD tilted path aliases

@@ -28,6 +28,14 @@ def _wait(pred, timeout=120.0):
     return False
 
 
+# full tier: this chain builds the event-gated EYE engine set in this
+# worker on top of the face engines (545 s of the warm default tier was
+# this one test — round-5 --durations). The TCP media-loop surface stays
+# default-gated by test_media_loop_over_rpc_with_generated_client below
+# (same listener/runner/event path over the full RPC stack) plus
+# test_round3's annotated-frames-over-TCP test; face→eye event-gated
+# chaining stays default-gated by test_pipeline_api (VERDICT r4 item 3).
+@pytest.mark.full
 def test_media_loop_tcp_chain():
     """TCP raw frames → face detect → chained event-gated eye detect;
     both elements emit server events."""

@@ -72,6 +72,12 @@ def test_dense_phase_kernel_matches_xla_engine(rng):
     assert total > 0  # non-vacuous: the scene actually fires the cascade
 
 
+# full tier (round-5 --durations): the strip-tiling generation's parity
+# is a deeper sweep of a surface the default tier still gates twice —
+# dense-kernel parity (above) and pyramid-chunk parity (below) cover the
+# fused dense phase, and test_pallas_failure_falls_back_to_xla_phase
+# keeps the fallback tier that selects the strip path default-gated.
+@pytest.mark.full
 def test_dense_phase_strip_kernel_matches_xla_engine(rng):
     """Levels above the single-block VMEM cap run the ROW-STRIP variant of
     the fused dense kernel (strip-local integral + h0-row halo; rect corner

@@ -123,6 +123,11 @@ def test_mouth_crop_golden_parity():
     assert_matches(got, expected)
 
 
+# full tier: 120 s warm (round-5 --durations). The crop-golden mechanism
+# stays default-gated by the eye variant above; nose ROI geometry and
+# detection stay default-gated by test_trained_cascades nose
+# out-of-the-box + the real-photo nose hit (test_real_images).
+@pytest.mark.full
 def test_nose_crop_golden_parity():
     scene = scene_with([(356, 240, 48)])      # small face in the nose ROI
     det = NoseDetector((640, 480),
