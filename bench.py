@@ -870,9 +870,16 @@ PHASE_EXEC_ORDER = ["grouped", "chain", "e2e", "cnn", "latency",
 # per-phase subprocess timeouts, sized to fit the DEFAULT_BUDGET_S global
 # budget (each is also clamped to the remaining budget at launch time)
 PHASE_TIMEOUTS = {
-    "grouped": 660, "raw": 600, "cnn": 300, "chain": 720,
+    "grouped": 660, "raw": 600, "cnn": 480, "chain": 720,
     "latency": 180, "e2e": 540, "e2e_fullres": 180, "feeder": 180,
 }
+# cnn 480 not 300: on 2026-08-21 two consecutive warm driver-identical
+# runs had cnn time out at 300 s — after the e2e phase's D2H work the
+# tunnel enters its degraded mode and the warm cnn loops run ~3x slower
+# (the same phase completed in 156 s earlier the same day under a x4
+# scale). Worst measured warm key-phase end is T+915 s; 915+480 still
+# clears the 1400 s self-budget, and cnn is the LAST key phase so a
+# long run only eats the secondary latency/fullres/feeder phases.
 # don't even start a phase with less budget left than it plausibly needs
 # (chain loads six engines' programs; the rest are cheap when warm)
 PHASE_MIN_S = {"chain": 300, "grouped": 180, "e2e": 150}
